@@ -1,13 +1,465 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ann.Ann
+import graft.correct.{Cells, Correctors, Fd, Pdep}
+import graft.dedup.Dedup
+import graft.pages.{PageGen, PagePipeline}
+import graft.rollup.{BlockOps, GapFill, Rollup, Tiers}
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), each with a
+  * DuckDB-runnable oracle in `oracleSql` where SQL-expressible.
+  *
+  * Determinism rules used throughout (so the driver's hash compare is
+  * exact): double sums go through `round(x, 6)` + decimal cast before
+  * aggregation and back to double at the end (order-free exact
+  * arithmetic); ranks/ids/counts are integers; ties always break on an
+  * id or lexicographic key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** round->decimal->sum->double: exact, order-independent sum of a
+    * double column, reproducible bit-for-bit in DuckDB.
+    */
+  private def dsum(c: Column): Column =
+    sum(round(c, 6).cast("decimal(28,6)")).cast("double")
+
+  private val dsumSql: String => String =
+    c => s"CAST(sum(CAST(round($c, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** Flagship: the pages correct-then-rollup pipeline at smoke scale. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    PagePipeline.hourlyRollupFixed(spark, nPages = 2000)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / aggregates (S1/S2, A1/A2) ----
+    "q01_lineitem_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")
+        )
+    }),
+
+    // ---- joins (J2-style equi-join + agg; broadcast dim) ----
+    "q02_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // ---- anti-join (P2/U2) ----
+    "q03_antijoin" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // ---- window top-k (W1/W3/W4) ----
+    "q04_window_topk" -> ((s, dir) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    }),
+
+    // ---- melt / cell addressing (J1 substrate) ----
+    "q05_melt" -> ((s, dir) => {
+      Cells.melt(t(s, dir, "part"), "p_partkey", Seq("p_brand", "p_type", "p_name"))
+    }),
+
+    // ---- pdep conditional counts (A2: counts + lhs marginals) ----
+    "q06_pdep_counts" -> ((s, dir) => {
+      import s.implicits._
+      val noErr = s.emptyDataset[graft.correct.ErrorCell].toDF()
+      Pdep
+        .fdCounts(t(s, dir, "customer"), noErr, "c_custkey", Fd(Seq("c_nationkey"), "c_mktsegment"))
+        .select(
+          col("c_nationkey").as("lhs_val"),
+          col("c_mktsegment").as("rhs_val"),
+          col("cnt"),
+          col("lhs_cnt")
+        )
+    }),
+
+    // ---- deterministic corruption + vicinity correction (S8+M3+A13+J6) ----
+    "q07_correct_fd" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").as("row_id"),
+        col("c_nationkey").cast("string").as("nation"),
+        when(col("c_custkey") % 17 === 3, lit("__CORRUPT__"))
+          .otherwise(col("c_mktsegment"))
+          .as("segment")
+      )
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      val sugg = Correctors.vicinityCorrectorOrder1(base, errors, "row_id", Seq("nation", "segment"))
+      val decided = Correctors.decide(sugg)
+      Cells
+        .applyCorrections(base, decided, "row_id", Seq("nation", "segment"))
+        .select("row_id", "segment")
+    }),
+
+    // ---- tier rollup from raw (north rule 1h) ----
+    "q08_rollup_1h" -> ((s, dir) => {
+      Rollup
+        .fromRaw(
+          t(s, dir, "events"),
+          Seq("event_type"),
+          "ts",
+          "1h",
+          lit(0L),
+          Map("value_sum" -> round(col("value"), 6).cast("decimal(28,6)"))
+        )
+        .select(
+          col("event_type"),
+          col("bucket_ts"),
+          col("point_count"),
+          col("value_sum").cast("double").as("value_sum")
+        )
+    }),
+
+    // ---- hierarchical re-aggregation 1m -> 1h -> 1d ----
+    "q09_rollup_tiers" -> ((s, dir) => {
+      val t1m = Rollup.fromRaw(
+        t(s, dir, "events"),
+        Seq("event_type"),
+        "ts",
+        "1m",
+        lit(0L),
+        Map("value_sum" -> round(col("value"), 6).cast("decimal(28,6)"))
+      )
+      val t1h = Rollup.reRollup(t1m, Seq("event_type"), "1m" -> "1h")
+      val t1d = Rollup.reRollup(t1h, Seq("event_type"), "1h" -> "1d")
+      t1d.select(
+        col("event_type"),
+        col("bucket_ts"),
+        col("point_count"),
+        col("value_sum").cast("double").as("value_sum")
+      )
+    }),
+
+    // ---- 30d fixed-window tier (epoch-anchored bucket) ----
+    "q10_rollup_30d" -> ((s, dir) => {
+      val t1m = Rollup.fromRaw(t(s, dir, "events"), Seq("event_type"), "ts", "1m", lit(0L))
+      val t1h = Rollup.reRollup(t1m, Seq("event_type"), "1m" -> "1h")
+      val t1d = Rollup.reRollup(t1h, Seq("event_type"), "1h" -> "1d")
+      val t30 = Rollup.reRollup(t1d, Seq("event_type"), "1d" -> "30d")
+      t30.select(col("event_type"), col("bucket_ts"), col("point_count"))
+    }),
+
+    // ---- gap fill: zero-filled dense spine (per-series bounds) ----
+    "q11_gapfill_zero" -> ((s, dir) => {
+      val hourly = Rollup
+        .fromRaw(t(s, dir, "events"), Seq("event_type"), "ts", "1h", lit(0L))
+        .select("event_type", "bucket_ts", "point_count")
+      GapFill
+        .zeroFill(hourly, Seq("event_type"), "1h", Seq("point_count"))
+        .select("event_type", "bucket_ts", "point_count")
+    }),
+
+    // ---- gap fill: LOCF over the spine ----
+    "q12_gapfill_locf" -> ((s, dir) => {
+      val hourly = Rollup
+        .fromRaw(
+          t(s, dir, "events"),
+          Seq("event_type"),
+          "ts",
+          "1h",
+          lit(0L),
+          Map("value_sum" -> round(col("value"), 6).cast("decimal(28,6)"))
+        )
+        .select(col("event_type"), col("bucket_ts"), col("value_sum").cast("double").as("value_sum"))
+      val spined = GapFill.withSpine(hourly, Seq("event_type"), "1h")
+      GapFill
+        .locf(spined, Seq("event_type"), "value_sum")
+        .select("event_type", "bucket_ts", "value_sum")
+    }),
+
+    // ---- dedup: exact (hash groupBy) ----
+    "q13_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ---- dedup: word-3-gram Jaccard pairs (exact) ----
+    "q14_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+    }),
+
+    // ---- similarity: brute-force cosine top-k ----
+    "q15_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.bruteForceTopK(emb, q, k = 10)
+    }),
+
+    // ---- text: language id ----
+    "q16_langid" -> ((s, dir) => {
+      TextOps
+        .withLangId(t(s, dir, "documents"), "text", "lang_pred")
+        .select("doc_id", "lang_pred")
+    }),
+
+    // ---- text: quality / token stats ----
+    "q17_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.stopwordCount("text").cast("long").as("n_stopwords"),
+        TextOps.bpeishCount("text").cast("long").as("n_bpeish"),
+        TextOps.qualityScore("text").as("quality")
+      )
+    }),
+
+    // ---- text: fingerprint ----
+    "q18_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- Gorilla/delta-of-delta blocks: oracle checked THROUGH the
+    //      codec (block built from 1m tier, decoded, points re-counted)
+    "q19_blocks_roundtrip" -> ((s, dir) => {
+      val t1m = Rollup
+        .fromRaw(
+          t(s, dir, "events"),
+          Seq("event_type"),
+          "ts",
+          "1m",
+          lit(0L),
+          Map("value_sum" -> round(col("value"), 6).cast("decimal(28,6)"))
+        )
+        .select(col("event_type"), col("bucket_ts"), col("value_sum").cast("double").as("value_sum"))
+      val blocks = BlockOps.buildBlocks(t1m, Seq("event_type"), "1h", "value_sum")
+      BlockOps
+        .explodeBlocks(blocks, Seq("event_type", "bucket_ts"))
+        .groupBy("event_type", "bucket_ts")
+        .agg(count(lit(1)).as("n_points"), dsum(col("value")).as("value_sum"))
+    }),
+
+    // ---- salting: two-phase skew-safe aggregation ----
+    "q20_salted_agg" -> ((s, dir) => {
+      val salted = t(s, dir, "events")
+        .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy("event_type", "__salt")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value"), 6).cast("decimal(28,6)")).as("vs")
+        )
+      salted
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"), sum("vs").cast("double").as("value_sum"))
+    }),
+
+    // ---- map histogram build + explode roundtrip ----
+    "q21_lang_hist" -> ((s, dir) => {
+      val perLang = t(s, dir, "documents").groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      val asMap = perLang
+        .groupBy("source")
+        .agg(map_from_entries(array_sort(collect_list(struct(col("lang"), col("cnt"))))).as("hist"))
+      asMap
+        .select(col("source"), explode(col("hist")).as(Seq("lang", "cnt")))
+    }),
+
+    // ---- dedup: MinHash + LSH (deterministic; rows-only check) ----
+    "q22_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text")
+        .select("id_a", "id_b", "est_jaccard")
+    }),
+
+    // ---- dedup: SimHash fingerprints (rows-only check) ----
+    "q23_simhash" -> ((s, dir) => {
+      Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ---- similarity: LSH-bucketed ANN (rows-only check) ----
+    "q24_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.lshTopK(emb, q, k = 10).drop("sim")
+    }),
+
+    // ---- pages pipeline: correct -> tiered rollup (rows-only; full
+    //      oracle lives in PagesPipelineSpec against in-Spark oracle)
+    "q25_pages_pipeline" -> ((s, _) => {
+      PagePipeline.hourlyRollupFixed(s, nPages = 2000)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_lineitem_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+            ${dsumSql("l_quantity")} AS sum_qty,
+            ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem GROUP BY 1, 2""",
+    "q02_join_agg" ->
+      s"""SELECT c_nationkey, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+          FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+    "q03_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1""",
+    "q04_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders) WHERE rnk <= 3""",
+    "q05_melt" ->
+      """SELECT p_partkey AS row_id, 'p_brand' AS col, p_brand AS value FROM part
+         UNION ALL SELECT p_partkey, 'p_type', p_type FROM part
+         UNION ALL SELECT p_partkey, 'p_name', p_name FROM part""",
+    "q06_pdep_counts" ->
+      """SELECT c_nationkey AS lhs_val, c_mktsegment AS rhs_val, count(*) AS cnt,
+                CAST(sum(count(*)) OVER (PARTITION BY c_nationkey) AS BIGINT) AS lhs_cnt
+         FROM customer GROUP BY 1, 2""",
+    "q07_correct_fd" ->
+      """WITH corrupted AS (
+           SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+                  CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment
+           FROM customer),
+         counts AS (
+           SELECT nation, segment AS seg, count(*) AS cnt FROM corrupted
+           WHERE segment <> '__CORRUPT__' GROUP BY 1, 2),
+         best AS (
+           SELECT nation, seg, row_number() OVER (PARTITION BY nation ORDER BY cnt DESC, seg ASC) AS rn
+           FROM counts)
+         SELECT c.row_id,
+                CASE WHEN c.segment = '__CORRUPT__' THEN coalesce(b.seg, '__CORRUPT__') ELSE c.segment END AS segment
+         FROM corrupted c LEFT JOIN (SELECT nation, seg FROM best WHERE rn = 1) b ON c.nation = b.nation""",
+    "q08_rollup_1h" ->
+      s"""SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS point_count,
+            ${dsumSql("value")} AS value_sum
+          FROM events GROUP BY 1, 2""",
+    "q09_rollup_tiers" ->
+      s"""SELECT event_type, date_trunc('day', ts) AS bucket_ts, count(*) AS point_count,
+            ${dsumSql("value")} AS value_sum
+          FROM events GROUP BY 1, 2""",
+    "q10_rollup_30d" ->
+      """SELECT event_type,
+                make_timestamp(CAST(floor(epoch(ts) / 2592000) * 2592000 * 1000000 AS BIGINT)) AS bucket_ts,
+                count(*) AS point_count
+         FROM events GROUP BY 1, 2""",
+    "q11_gapfill_zero" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS point_count
+           FROM events GROUP BY 1, 2),
+         nums AS (SELECT unnest(generate_series(0, 100000)) AS i),
+         bounds AS (SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM hourly GROUP BY 1),
+         spine AS (SELECT b.event_type, b.lo + to_hours(n.i) AS bucket_ts
+                   FROM bounds b JOIN nums n ON b.lo + to_hours(n.i) <= b.hi)
+         SELECT s.event_type, s.bucket_ts, coalesce(h.point_count, 0) AS point_count
+         FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.bucket_ts = h.bucket_ts""",
+    "q12_gapfill_locf" ->
+      s"""WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                   ${dsumSql("value")} AS value_sum
+            FROM events GROUP BY 1, 2),
+          nums AS (SELECT unnest(generate_series(0, 100000)) AS i),
+          bounds AS (SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM hourly GROUP BY 1),
+          spine AS (SELECT b.event_type, b.lo + to_hours(n.i) AS bucket_ts
+                    FROM bounds b JOIN nums n ON b.lo + to_hours(n.i) <= b.hi),
+          j AS (SELECT s.event_type, s.bucket_ts, h.value_sum
+                FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.bucket_ts = h.bucket_ts)
+          SELECT event_type, bucket_ts,
+                 last_value(value_sum IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
+          FROM j""",
+    "q13_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY text""",
+    "q14_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+                   WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+                   FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, overlap, sa.sz + sb.sz - overlap AS union_size
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE overlap * 1.0 / (sa.sz + sb.sz - overlap) >= 0.5""",
+    "q15_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.id,
+                  list_dot_product(c.ce, q.qe) /
+                    (sqrt(list_dot_product(c.ce, c.ce)) * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+           FROM c, q WHERE c.id <> q.query_id),
+         ranked AS (
+           SELECT query_id, id AS neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10""",
+    "q16_langid" -> {
+      def sc(markers: Seq[String]) = {
+        val list = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), w -> w IN ($list)))"
+      }
+      val de = sc(Seq("der", "die", "und", "nicht"))
+      val en = sc(Seq("the", "and", "of", "is"))
+      val es = sc(Seq("el", "los", "y", "que"))
+      val fr = sc(Seq("le", "la", "et", "les"))
+      s"""WITH scored AS (
+            SELECT doc_id, $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr FROM documents)
+          SELECT doc_id,
+                 CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+                      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                      WHEN s_es >= s_fr THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+          FROM scored"""
+    },
+    "q17_quality" -> {
+      val stop = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+                 length(text) AS n_chars_calc,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS n_stopwords,
+                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish,
+                 round(
+                   least(length(text) / 500.0, 1.0) * 0.4 +
+                   (len(list_filter(string_split(text, ' '), w -> w IN ($stop))) * 1.0 /
+                     greatest(len(string_split(text, ' ')), 1)) * 0.3 +
+                   (CASE WHEN length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1)
+                              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+          FROM documents"""
+    },
+    "q18_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents""",
+    "q19_blocks_roundtrip" ->
+      s"""WITH minutely AS (
+            SELECT event_type, date_trunc('minute', ts) AS mts, ${dsumSql("value")} AS vs
+            FROM events GROUP BY 1, 2)
+          SELECT event_type, date_trunc('hour', mts) AS bucket_ts, count(*) AS n_points,
+                 ${dsumSql("vs")} AS value_sum
+          FROM minutely GROUP BY 1, 2""",
+    "q20_salted_agg" ->
+      s"""SELECT event_type, count(*) AS n_events, ${dsumSql("value")} AS value_sum
+          FROM events GROUP BY 1""",
+    "q21_lang_hist" ->
+      """SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2"""
+  )
 }

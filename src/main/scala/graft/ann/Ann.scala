@@ -1,0 +1,155 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Dot products and norms are built-in higher-order functions
+  * (`zip_with` + `aggregate`), computed in double precision — no UDF,
+  * stays in codegen, deterministic.
+  *
+  * Scale path: brute-force is the exactness baseline (queries are
+  * broadcast, corpus scanned once, per-query top-k via aggregate-free
+  * window on the small score relation). The LSH variant buckets the
+  * corpus by random-hyperplane signatures so each query probes only its
+  * bucket — corpus shuffle is by bucket key, and recall/cost trade via
+  * the number of hyperplanes.
+  */
+object Ann {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: for each query row (small set,
+    * broadcast), rank the corpus by cosine similarity; emit
+    * (query_id, neighbor_id, rank). Ranks are integers — stable under
+    * reordering; ties break on ascending neighbor id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, // (id, embedding)
+      queries: DataFrame, // (query_id, embedding)
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus
+      .select(col("id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d component
+    * derived from xxhash64(p, d) scaled to [-1, 1].
+    */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d), lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
+
+  /** Sign signature of an embedding under `planes` hyperplanes, as an
+    * integer bucket key.
+    */
+  def lshBucket(emb: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(
+          emb,
+          sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)
+        ),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries hashed to sign
+    * buckets; each query reranks exactly within its bucket. Misses are
+    * possible (that is the approximation); `planes` trades recall for
+    * bucket size.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 8
+  ): DataFrame = {
+    val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = queries
+      .select(col("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), planes))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** IVF-style variant: coarse centroids = the `nCentroids` first
+    * corpus vectors (deterministic); every vector is assigned to its
+    * nearest centroid, queries probe the `nprobe` nearest centroid
+    * cells and rerank exactly within them.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val centroids = corpus
+      .orderBy("id")
+      .limit(nCentroids)
+      .select(col("id").as("centroid_id"), col("embedding").as("c_emb"))
+
+    def assign(df: DataFrame, idColName: String, embCol: String, outCol: String, probes: Int): DataFrame = {
+      val scored = df
+        .crossJoin(broadcast(centroids))
+        .withColumn("c_sim", cosine(col(embCol), col("c_emb")))
+      val w = Window.partitionBy(col(idColName)).orderBy(col("c_sim").desc, col("centroid_id").asc)
+      scored
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= probes)
+        .withColumnRenamed("centroid_id", outCol)
+        .drop("c_emb", "c_sim", "c_rank")
+    }
+
+    val c = assign(corpus, "id", "embedding", "cell", 1)
+    val q = assign(
+      queries.select(col("query_id"), col("embedding").as("q_emb")),
+      "query_id",
+      "q_emb",
+      "cell",
+      nprobe
+    )
+    val scored = c
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank").cast("long").as("rank"), col("sim"))
+  }
+}

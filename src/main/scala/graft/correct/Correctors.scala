@@ -1,0 +1,253 @@
+package graft.correct
+
+import graft.core.ValueModels
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The corrector ensemble, re-expressed as Spark jobs that each emit a
+  * long-form `Suggestion(row_id, col, corrector, candidate, score)`
+  * relation. The reference's per-corrector nested dicts
+  * (`src/helpers.py:75-138`) are a single-machine pivot of this.
+  *
+  * Scale notes: every corrector is a join of the (error-fraction-sized)
+  * error-cell relation against a counts model that has already been
+  * reduced by `groupBy().count()` — the count models are broadcast-
+  * joined, the big table is scanned once per model build, and nothing
+  * ever iterates cells on the driver.
+  */
+object Correctors {
+
+  /** FD corrector (reference `fd_based_corrector`, `src/pdep.py:398-447`,
+    * feature = norm_gpdep): for each FD whose rhs is the error column,
+    * look up the error row's lhs values in the masked conditional-count
+    * model and emit every co-occurring rhs value, scored by the FD's
+    * norm_gpdep; scores for the same candidate from different FDs sum
+    * (A10).
+    */
+  def fdCorrector(
+      df: DataFrame,
+      errors: DataFrame,
+      rowId: String,
+      gpdeps: Map[String, (PdepStats, Double)],
+      fds: Seq[Fd]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val perFd: Seq[DataFrame] = fds.flatMap { fd =>
+      val normGpdep = gpdeps.get(fd.key).map(_._2).getOrElse(0.0)
+      val errRowIds = errors
+        .filter(col("col") === fd.rhs)
+        .select(col("row_id").as(rowId))
+      if (fd.lhs.contains(fd.rhs)) None
+      else {
+        val errRows = df
+          .join(errRowIds, Seq(rowId))
+          .select(col(rowId).as("row_id") +: fd.lhs.map(col): _*)
+        val counts = Pdep
+          .fdCounts(df, errors, rowId, fd)
+          .withColumnRenamed(fd.rhs, "candidate")
+        val sugg = errRows
+          .join(broadcast(counts.drop("lhs_cnt")), fd.lhs)
+          .select(
+            col("row_id"),
+            lit(fd.rhs).as("col"),
+            lit("fd").as("corrector"),
+            col("candidate"),
+            lit(normGpdep).as("score")
+          )
+        Some(sugg)
+      }
+    }
+    if (perFd.isEmpty) emptySuggestions(spark)
+    else
+      perFd
+        .reduce(_ unionByName _)
+        .groupBy("row_id", "col", "corrector", "candidate")
+        .agg(sum("score").as("score"))
+  }
+
+  /** Naive vicinity corrector, order 1 (reference
+    * `vicinity_based_corrector_order_n`, `src/pdep.py:292-321`): for
+    * every other column L of the error row, the conditional probability
+    * of each rhs candidate given the row's L-value, from cell-masked
+    * co-occurrence counts (`mine_all_counts`, `src/pdep.py:101-158`).
+    * One feature (corrector name) per lhs column.
+    *
+    * Count model: the long cell relation self-joined on row_id — one
+    * shuffle by row_id, one aggregation; cells marked as errors are
+    * excluded from the model (cell-level masking).
+    */
+  def vicinityCorrectorOrder1(
+      df: DataFrame,
+      errors: DataFrame,
+      rowId: String,
+      cols: Seq[String]
+  ): DataFrame = {
+    val cells = Cells.melt(df, rowId, cols)
+    val masked = cells.join(
+      errors.select("row_id", "col"),
+      Seq("row_id", "col"),
+      "left_anti"
+    )
+    val a = masked.select(
+      col("row_id"),
+      col("col").as("lhs_col"),
+      col("value").as("lhs_val")
+    )
+    val b = masked.select(
+      col("row_id"),
+      col("col").as("rhs_col"),
+      col("value").as("candidate")
+    )
+    val counts = a
+      .join(b, "row_id")
+      .filter(col("lhs_col") =!= col("rhs_col"))
+      .groupBy("lhs_col", "rhs_col", "lhs_val", "candidate")
+      .agg(count(lit(1)).as("cnt"))
+    val wm = Window.partitionBy("lhs_col", "rhs_col", "lhs_val")
+    val countsPr = counts.withColumn("pr", col("cnt") / sum("cnt").over(wm))
+
+    // error cells paired with their row's other (lhs) cells — current
+    // values, errors included (the reference's `ed["vicinity"]` is the
+    // raw row)
+    val errLhs = errors
+      .select(col("row_id"), col("col").as("rhs_col"))
+      .join(cells.withColumnRenamed("col", "lhs_col").withColumnRenamed("value", "lhs_val"), "row_id")
+      .filter(col("lhs_col") =!= col("rhs_col"))
+
+    errLhs
+      .join(broadcast(countsPr), Seq("lhs_col", "rhs_col", "lhs_val"))
+      .select(
+        col("row_id"),
+        col("rhs_col").as("col"),
+        concat(lit("vicinity_1_"), col("lhs_col")).as("corrector"),
+        col("candidate"),
+        col("pr").as("score")
+      )
+  }
+
+  /** Value corrector (reference `src/correction.py:148-219`): value
+    * models mined from the labeled (error, correction) pairs on the
+    * driver (bounded by the labeling budget, ~20 rows), broadcast, and
+    * replayed over every error cell of the same column.
+    */
+  def valueCorrector(
+      errors: DataFrame,
+      labeledPairs: Map[String, Seq[(String, String)]] // col -> (old,new) pairs
+  ): DataFrame = {
+    val spark = errors.sparkSession
+    import spark.implicits._
+    val models: Map[String, ValueModels] =
+      labeledPairs.map { case (c, pairs) => c -> ValueModels.fromPairs(pairs) }
+    val bc = spark.sparkContext.broadcast(models)
+    errors
+      .select("row_id", "col", "error_value")
+      .as[(Long, String, String)]
+      .flatMap { case (rid, c, errVal) =>
+        bc.value.get(c) match {
+          case None => Iterator.empty
+          case Some(m) =>
+            for {
+              (corrector, sugg) <- m.suggest(errVal).iterator
+              (candidate, pr) <- sugg.iterator
+            } yield Suggestion(rid, c, corrector, candidate, pr)
+        }
+      }
+      .toDF()
+  }
+
+  /** Count-based conditional imputer — the deterministic replacement for
+    * the reference's AutoGluon `auto_instance` model (SURVEY.md §2.8 M1):
+    * P(candidate | no context) = global frequency of the candidate in
+    * the error column among non-error cells, with the P5 filters of the
+    * reference applied (score >= 0.001, candidate != error value,
+    * `src/correctors.py:91-95`).
+    */
+  def frequencyImputer(df: DataFrame, errors: DataFrame, rowId: String, cols: Seq[String]): DataFrame = {
+    val cells = Cells.melt(df, rowId, cols)
+    val masked = cells.join(errors.select("row_id", "col"), Seq("row_id", "col"), "left_anti")
+    val freq = masked
+      .groupBy(col("col"), col("value").as("candidate"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("col")
+    val pr = freq.withColumn("score", col("cnt") / sum("cnt").over(w)).drop("cnt")
+    errors
+      .join(broadcast(pr), Seq("col"))
+      .filter(col("score") >= 0.001 && col("candidate") =!= col("error_value"))
+      .select(col("row_id"), col("col"), lit("imputer").as("corrector"), col("candidate"), col("score"))
+  }
+
+  /** Frozen LLM-cache corrector (reference M5/M6: the sqlite cache of
+    * pre-fetched answers, `src/helpers.py:141-313`, becomes a static
+    * lookup table; no network ever). `cache` columns:
+    * (row_id, col, candidate, score, corrector).
+    */
+  def cacheCorrector(errors: DataFrame, cache: DataFrame): DataFrame =
+    errors
+      .select("row_id", "col")
+      .join(cache, Seq("row_id", "col"))
+      .select("row_id", "col", "corrector", "candidate", "score")
+
+  def emptySuggestions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Suggestion].toDF()
+  }
+
+  /** A13 decision rule (reference fallback `src/correction.py:903-910`
+    * + tie-break `src/ml_helpers.py:63-74`, standardized per SURVEY.md
+    * §7): per cell, pick the candidate maximizing the sum of corrector
+    * scores; ties break lexicographically on the candidate.
+    */
+  def decide(suggestions: DataFrame): DataFrame = {
+    val summed = suggestions
+      .groupBy("row_id", "col", "candidate")
+      .agg(sum("score").as("feature_sum"))
+    val w = Window
+      .partitionBy("row_id", "col")
+      .orderBy(col("feature_sum").desc, col("candidate").asc)
+    summed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("row_id"), col("col"), col("candidate").as("value"))
+  }
+
+  /** User-label overlay: labeled corrections always win
+    * (`clean_with_user_input`, `src/correction.py:940-951`).
+    */
+  def overlayUserLabels(decided: DataFrame, userLabels: DataFrame): DataFrame = {
+    val u = userLabels.select(col("row_id"), col("col"), col("value").as("user_value"))
+    decided
+      .join(u, Seq("row_id", "col"), "full_outer")
+      .select(col("row_id"), col("col"), coalesce(col("user_value"), col("value")).as("value"))
+  }
+
+  /** Cell-exact evaluation (reference `src/dataset.py:249-272`):
+    * detection & correction precision/recall/F1 as five scalars from one
+    * full-outer join of corrections against actual errors.
+    */
+  def evaluate(corrections: DataFrame, actualErrors: DataFrame): Map[String, Double] = {
+    val a = actualErrors.select(col("row_id"), col("col"), col("clean_value"))
+    val c = corrections.select(col("row_id"), col("col"), col("value"))
+    val j = c.join(a, Seq("row_id", "col"), "left")
+    val row = j
+      .agg(
+        count(lit(1)).as("output_size"),
+        sum(when(col("clean_value").isNotNull, 1L).otherwise(0L)).as("ed_tp"),
+        sum(when(col("clean_value") === col("value"), 1L).otherwise(0L)).as("ec_tp")
+      )
+      .head()
+    val outputSize = row.getLong(0).toDouble
+    val edTp = row.getLong(1).toDouble
+    val ecTp = Option(row.get(2)).map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+    val nActual = actualErrors.count().toDouble
+    def prf(tp: Double): (Double, Double, Double) = {
+      val p = if (outputSize == 0) 0.0 else tp / outputSize
+      val r = if (nActual == 0) 0.0 else tp / nActual
+      val f = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+      (p, r, f)
+    }
+    val (edP, edR, edF) = prf(edTp)
+    val (ecP, ecR, ecF) = prf(ecTp)
+    Map("ed_p" -> edP, "ed_r" -> edR, "ed_f" -> edF, "ec_p" -> ecP, "ec_r" -> ecR, "ec_f" -> ecF)
+  }
+}

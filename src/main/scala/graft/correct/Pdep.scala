@@ -1,0 +1,125 @@
+package graft.correct
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A functional-dependency candidate lhs -> rhs over named columns
+  * (reference `FDTuple`, `src/pdep.py:12`).
+  */
+case class Fd(lhs: Seq[String], rhs: String) {
+  def cols: Seq[String] = lhs :+ rhs
+  def key: String = lhs.mkString(",") + "->" + rhs
+}
+
+/** pdep / gpdep statistics per FD. `None` fields mirror the
+  * reference's `None` returns when every row is masked by errors.
+  */
+case class PdepStats(
+    fd: Fd,
+    n: Long, // error-corrected row count
+    pdepB: Option[Double],
+    pdepAB: Option[Double],
+    epdep: Option[Double],
+    gpdep: Option[Double]
+)
+
+/** Probabilistic functional-dependency statistics on Spark.
+  *
+  * Re-derivation of the reference's pdep machinery
+  * (`src/pdep.py:160-290`) as DataFrame aggregations:
+  *
+  *   pdep(B)    = sum_b count(b)^2 / N^2           (pdep_0, :215-235)
+  *   pdep(A,B)  = (sum_{a,b} count(a,b)^2 / count(a)) / N   (:238-263)
+  *   E[pdep]    = pdep(B) + (dA-1)/(N-1) * (1-pdep(B))      (:160-185)
+  *   gpdep      = pdep(A,B) - E[pdep(A,B)]                  (:266-289)
+  *
+  * with N = rows that contain no detected error in lhs ∪ rhs
+  * (`error_corrected_row_count`, :188-211); all counts computed over
+  * the same masked row set (`fast_fd_counts`, :24-52).
+  *
+  * Each FD costs one `groupBy(lhs :+ rhs).count()` — a single partial+
+  * final hash aggregate over only the projected columns, so the scan
+  * prunes to the FD's columns and the shuffle carries the (tiny)
+  * distinct-combination relation, not rows.
+  */
+object Pdep {
+
+  /** Conditional counts for one FD over the error-masked rows:
+    * columns `lhs..., rhs, cnt, lhs_cnt` where `lhs_cnt` is the
+    * marginal count of the lhs value combination.
+    */
+  def fdCounts(df: DataFrame, errors: DataFrame, rowId: String, fd: Fd): DataFrame = {
+    val masked = Cells.dropRowsWithErrorIn(df, errors, rowId, fd.cols)
+    val c = masked.groupBy(fd.cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(fd.lhs.map(col): _*)
+    c.withColumn("lhs_cnt", sum(col("cnt")).over(w))
+  }
+
+  /** N = rows without a detected error in lhs ∪ rhs. */
+  def errorCorrectedRowCount(df: DataFrame, errors: DataFrame, rowId: String, fd: Fd): Long =
+    Cells.dropRowsWithErrorIn(df, errors, rowId, fd.cols).count()
+
+  /** All four statistics for one FD in two small jobs (counts agg +
+    * scalar agg). The counts relation is post-aggregation tiny, so the
+    * scalar pass is a driver-side-free single-stage reduce.
+    */
+  def stats(df: DataFrame, errors: DataFrame, rowId: String, fd: Fd): PdepStats = {
+    val n = errorCorrectedRowCount(df, errors, rowId, fd)
+    if (n == 0L) return PdepStats(fd, 0L, None, None, None, None)
+
+    val counts = fdCounts(df, errors, rowId, fd)
+
+    // one aggregate over the counts relation:
+    //   sp  = sum(cnt^2 / lhs_cnt)                 -> pdep(A,B) * N
+    //   dA  = approx-free exact distinct lhs combos
+    //   rhs marginals for pdep(B)
+    val rhsMarginals = counts
+      .groupBy(col(fd.rhs))
+      .agg(sum(col("cnt")).as("rhs_cnt"))
+    val pdepBVal = rhsMarginals
+      .agg((sum(pow(col("rhs_cnt"), 2)) / lit(n.toDouble * n)).as("p"))
+      .head()
+      .getDouble(0)
+
+    val row = counts
+      .agg(
+        (sum(pow(col("cnt"), 2) / col("lhs_cnt")) / lit(n.toDouble)).as("pab"),
+        countDistinct(struct(fd.lhs.map(col): _*)).as("da")
+      )
+      .head()
+    val pdepABVal = row.getDouble(0)
+    val dA = row.getLong(1)
+
+    val epdepVal: Option[Double] =
+      if (pdepBVal == 1.0) None // reference: division-by-zero guard, pdep.py:172-173
+      else if (n == 1L) Some(0.0)
+      else Some(pdepBVal + (dA - 1).toDouble / (n - 1).toDouble * (1 - pdepBVal))
+
+    val gpdepVal = epdepVal.map(e => pdepABVal - e)
+    PdepStats(fd, n, Some(pdepBVal), Some(pdepABVal), epdepVal, gpdepVal)
+  }
+
+  /** gpdep for a set of FDs, plus per-rhs normalization
+    * (`norm_gpdep = gpdep / sum(gpdep over lhs for this rhs)` when the
+    * sum is positive — reference `src/correction.py:541-553`).
+    * Returns `(fd, stats, normGpdep)` keyed by `fd.key`.
+    */
+  def gpdepTable(
+      df: DataFrame,
+      errors: DataFrame,
+      rowId: String,
+      fds: Seq[Fd]
+  ): Map[String, (PdepStats, Double)] = {
+    val all = fds.map(fd => fd.key -> stats(df, errors, rowId, fd)).toMap
+    val byRhs = all.values.groupBy(_.fd.rhs)
+    val norm: Map[String, Double] = byRhs.flatMap { case (_, ss) =>
+      val normSum = ss.flatMap(_.gpdep).sum
+      ss.map { s =>
+        val ng = if (normSum > 0) s.gpdep.map(_ / normSum).getOrElse(0.0) else 0.0
+        s.fd.key -> ng
+      }
+    }.toMap
+    all.map { case (k, s) => k -> (s, norm(k)) }
+  }
+}

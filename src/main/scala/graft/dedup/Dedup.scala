@@ -1,0 +1,170 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * word-n-gram Jaccard, MinHash+LSH, SimHash. All hashing is seeded
+  * `xxhash64` (Catalyst-native, codegen'd) so results are deterministic
+  * across parallelism levels.
+  *
+  * Scale notes: exact dedup is one hash aggregate on a text digest
+  * (never the raw text at scale); MinHash/LSH shuffles (band, bucket)
+  * keys instead of doc pairs, so candidate generation is linear in
+  * corpus size + bucket collisions, never the O(n^2) pair join;
+  * n-gram Jaccard is reserved for verifying candidate pairs or small
+  * corpora.
+  */
+object Dedup {
+
+  /** Exact dedup: group rows by content digest; keep the minimum id as
+    * the canonical copy. Returns (keeper id, n_copies) per distinct
+    * content.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies")
+
+  /** Distinct word n-gram (shingle) relation: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // n-gram via transform over the token index range (built-in HOF)
+    val grams =
+      if (n == 1) toks
+      else
+        expr(
+          s"""case when size(split($textCol, ' ')) < $n then array_repeat('', 0)
+              else transform(
+                sequence(0, size(split($textCol, ' ')) - $n),
+                i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' ')) end"""
+        )
+    df.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs. Emits integer overlap
+    * and union sizes (exact, order-free) plus the pair ids, for pairs
+    * with jaccard >= threshold and id_a < id_b.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val a = sh.withColumnRenamed("id", "id_a")
+    val b = sh.withColumnRenamed("id", "id_b")
+    val inter = a
+      .join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("overlap"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("union_size", col("size_a") + col("size_b") - col("overlap"))
+      .filter(col("overlap").cast("double") / col("union_size") >= threshold)
+      .select("id_a", "id_b", "overlap", "union_size")
+  }
+
+  /** MinHash signatures: `numHashes` seeded xxhash64 functions over the
+    * shingle set; per doc and hash function keep the minimum. One
+    * explode + one aggregate — the signature never leaves the executor
+    * as raw shingles.
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hashes = (0 until numHashes).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+    }
+    sh.groupBy("id").agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** MinHash + LSH candidate pairs: signatures split into `bands` bands
+    * of `rowsPerBand` hashes; docs sharing any band bucket become
+    * candidates. Returns distinct (id_a < id_b) candidate pairs with
+    * the estimated jaccard (signature agreement fraction).
+    */
+  def minHashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      estThreshold: Double = 0.5
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val sig = minHashSignatures(sh, numHashes).cache()
+
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(cols: _*).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+    val cand = buckets
+      .as("x")
+      .join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    // estimate jaccard from signature agreement
+    val sigA = sig.toDF(sig.columns.map(c => if (c == "id") "id_a" else c + "_a"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => if (c == "id") "id_b" else c + "_b"): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigA, "id_a")
+      .join(sigB, "id_b")
+      .withColumn("est_jaccard", agree.cast("double") / numHashes)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +/-1 votes of
+    * each token's xxhash64 bit; sign forms the fingerprint. Pure
+    * expressions via explode + conditional sums (no UDF).
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val votes = tok.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` via 16-bit band
+    * blocking (pairs must agree on at least one of four 16-bit bands —
+    * guaranteed when hamming distance <= 3 < 4 bands).
+    */
+  def simHashPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"), shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("key"))
+    }
+    val blocked = fps
+      .select(col("id"), col("simhash"), explode(array(bands: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val hamming = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+    blocked
+      .as("x")
+      .join(blocked.as("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory used by tests, Verify, Bench and ScalingBench.
+  *
+  * Local-mode settings tuned per the build constraints: shuffle
+  * partitions sized to the core count (not the 200 default), AQE on
+  * (skew-join handling for hot-domain keys), UTC session timezone for
+  * oracle parity with DuckDB.
+  */
+object Sessions {
+
+  /** Cores implied by a `local[N]` master string; 4 as a fallback. */
+  def coresOf(master: String): Int = {
+    val m = "local\\[(\\d+)\\]".r
+    master match {
+      case m(n) => n.toInt
+      case _    => Runtime.getRuntime.availableProcessors().min(4)
+    }
+  }
+
+  def build(master: String, appName: String = "graft"): SparkSession = {
+    val cores = coresOf(master)
+    SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+  }
+
+  /** Stop any active session, then build a fresh one (used by
+    * ScalingBench to re-run the same job at two parallelism levels
+    * within one JVM).
+    */
+  def rebuild(master: String, appName: String = "graft"): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    build(master, appName)
+  }
+}
