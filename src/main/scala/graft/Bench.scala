@@ -1,24 +1,93 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.pages.{PageGen, PagePipeline}
+import graft.rollup.Rollup
+import graft.spark.Sessions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"rollup_points_per_sec_per_executor","value":N,
+  *  "unit":"points/sec","queries":{...per-query sec...},
+  *  "pages":n,"rollup_sec":s,"sf":dir}
+  *
+  * The headline metric is the north-rule one: rolled-up points/sec for
+  * the pages correct-then-rollup pipeline (4 retention tiers) on the
+  * deterministic synthetic page table; local mode = one executor.
+  * Per-query timings use a noop sink so every column is actually
+  * computed (a count() would let Catalyst prune the interesting work).
+  */
 object Bench {
+
+  def noopRun(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Pages pipeline benchmark: corrupt pages are materialized to
+    * parquet once (untimed — input generation is not pipeline work),
+    * then the timed section is the real storage-to-rollup path:
+    * parquet scan -> repair -> 4 tier tables.
+    * Returns (points, seconds).
+    */
+  def rollupBench(spark: SparkSession, nPages: Long): (Long, Double) = {
+    val path = s"/tmp/graft_bench_pages_$nPages"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      PageGen
+        .corrupt(PageGen.clean(spark, nPages))
+        .write
+        .mode("overwrite")
+        .parquet(path)
+    }
+    val dirty = spark.read.parquet(path)
+    val t0 = System.nanoTime()
+    val repaired = PagePipeline.repair(dirty)
+    // persist each tier so the chain computes once (the production
+    // path writes each tier table; persist is its bench stand-in)
+    val t1m = Rollup
+      .fromRaw(
+        repaired.withColumn("domain", PageGen.domainOf("url")),
+        Seq("domain"),
+        "warc_ts",
+        "1m",
+        length(col("html")).cast("long"),
+        langCol = Some("lang")
+      )
+      .persist()
+    val t1h = Rollup.reRollup(t1m, Seq("domain"), "1m" -> "1h").persist()
+    val t1d = Rollup.reRollup(t1h, Seq("domain"), "1h" -> "1d").persist()
+    val t30 = Rollup.reRollup(t1d, Seq("domain"), "1d" -> "30d")
+    val points = t1m.count() + t1h.count() + t1d.count() + t30.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    Seq(t1m, t1h, t1d).foreach(_.unpersist())
+    (points, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1000000").toLong
+    val spark = Sessions.build(s"local[$cpus]", "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm the JVM/codegen paths once at tiny scale
+    rollupBench(spark, 10000L)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try noopRun(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val (points, rollupSec) = rollupBench(spark, nPages)
+    val pointsPerSec = points / rollupSec
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"rollup_points_per_sec_per_executor","value":$pointsPerSec%.1f,"unit":"points/sec","queries":$qs,"queries_total_sec":$total%.2f,"pages":$nPages,"rollup_points":$points,"rollup_sec":$rollupSec%.2f,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

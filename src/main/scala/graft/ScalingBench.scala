@@ -1,0 +1,39 @@
+package graft
+
+import graft.spark.Sessions
+
+/** Two-parallelism scaling benchmark (the sandbox stand-in for the
+  * north rule's N vs 4N executor clusters): runs the identical pages
+  * correct-then-rollup job at `local[N]` and `local[4N]` in fresh
+  * sessions and reports throughput at both plus scaling efficiency
+  * `(thr4N / thrN) / 4`.
+  *
+  * Prints one JSON line; results are recorded in BASELINE.md.
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "2000000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+
+    def run(cores: Int): Double = {
+      val spark = Sessions.rebuild(s"local[$cores]", s"graft-scale-$cores")
+      spark.sparkContext.setLogLevel("WARN")
+      Bench.rollupBench(spark, 20000L) // warmup
+      val best = (1 to reps).map { _ =>
+        val (points, sec) = Bench.rollupBench(spark, nPages)
+        points / sec
+      }.max
+      spark.stop()
+      best
+    }
+
+    val thrSmall = run(n)
+    val thrBig = run(4 * n)
+    val eff = (thrBig / thrSmall) / 4.0
+    println(
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","cores_small":$n,"cores_big":${4 * n},"throughput_small":$thrSmall%.1f,"throughput_big":$thrBig%.1f,"pages":$nPages}"""
+    )
+  }
+}

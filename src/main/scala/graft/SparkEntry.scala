@@ -303,6 +303,30 @@ object SparkEntry {
     //      oracle lives in PagesPipelineSpec against in-Spark oracle)
     "q25_pages_pipeline" -> ((s, _) => {
       PagePipeline.hourlyRollupFixed(s, nPages = 2000)
+    }),
+
+    // ---- multimodal plumbing: batched feature extraction over binary
+    //      payloads (stub decoder; rows-only check)
+    "q26_media_features" -> ((s, _) => {
+      graft.multimodal.Multimodal
+        .extractFeatures(graft.multimodal.Multimodal.syntheticMedia(s, 2000L), dim = 16)
+        .select(col("media_id"), col("kind"), size(col("features")).as("dim"))
+    }),
+
+    // ---- multimodal: frame sampling fan-out (rows-only check) ----
+    "q27_frame_sample" -> ((s, _) => {
+      graft.multimodal.Multimodal
+        .frameSample(graft.multimodal.Multimodal.syntheticMedia(s, 2000L))
+        .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+    }),
+
+    // ---- similarity: IVF-bucketed ANN (rows-only check) ----
+    "q28_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.ivfTopK(emb, q, k = 10).drop("sim")
     })
   )
 

@@ -198,17 +198,27 @@ object Correctors {
     * §7): per cell, pick the candidate maximizing the sum of corrector
     * scores; ties break lexicographically on the candidate.
     */
-  def decide(suggestions: DataFrame): DataFrame = {
+  def decide(suggestions: DataFrame): DataFrame =
+    decideBy(suggestions, Seq("row_id", "col"))
+      .select(col("row_id"), col("col"), col("candidate").as("value"))
+
+  /** A13 generalized over arbitrary key columns. When every cell with
+    * the same lhs value receives identical suggestions (single-FD
+    * correction), deciding once per lhs value and broadcast-joining
+    * back is equivalent and avoids the per-cell window — that is the
+    * scale path used by the pages pipeline.
+    */
+  def decideBy(suggestions: DataFrame, keys: Seq[String]): DataFrame = {
     val summed = suggestions
-      .groupBy("row_id", "col", "candidate")
+      .groupBy((keys :+ "candidate").map(col): _*)
       .agg(sum("score").as("feature_sum"))
     val w = Window
-      .partitionBy("row_id", "col")
+      .partitionBy(keys.map(col): _*)
       .orderBy(col("feature_sum").desc, col("candidate").asc)
     summed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("row_id"), col("col"), col("candidate").as("value"))
+      .drop("rn", "feature_sum")
   }
 
   /** User-label overlay: labeled corrections always win

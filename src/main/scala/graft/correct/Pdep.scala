@@ -60,15 +60,26 @@ object Pdep {
   def errorCorrectedRowCount(df: DataFrame, errors: DataFrame, rowId: String, fd: Fd): Long =
     Cells.dropRowsWithErrorIn(df, errors, rowId, fd.cols).count()
 
-  /** All four statistics for one FD in two small jobs (counts agg +
-    * scalar agg). The counts relation is post-aggregation tiny, so the
-    * scalar pass is a driver-side-free single-stage reduce.
+  /** All four statistics for one FD: ONE scan of the data (the counts
+    * aggregation) + scalar aggregates over the tiny counts relation.
+    * N (the error-corrected row count) is `sum(cnt)` — the counts were
+    * mined over exactly the masked row set, so no second scan is
+    * needed.
     */
-  def stats(df: DataFrame, errors: DataFrame, rowId: String, fd: Fd): PdepStats = {
-    val n = errorCorrectedRowCount(df, errors, rowId, fd)
-    if (n == 0L) return PdepStats(fd, 0L, None, None, None, None)
+  def stats(df: DataFrame, errors: DataFrame, rowId: String, fd: Fd): PdepStats =
+    statsFromCounts(fdCounts(df, errors, rowId, fd), fd)
 
-    val counts = fdCounts(df, errors, rowId, fd)
+  /** Statistics from a precomputed (masked) counts relation — lets
+    * callers that already built the count model (the FD corrector)
+    * avoid any extra pass over the data.
+    */
+  def statsFromCounts(countsIn: DataFrame, fd: Fd): PdepStats = {
+    val counts = countsIn.cache()
+    val n = counts.agg(sum(col("cnt"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    if (n == 0L) return PdepStats(fd, 0L, None, None, None, None)
 
     // one aggregate over the counts relation:
     //   sp  = sum(cnt^2 / lhs_cnt)                 -> pdep(A,B) * N

@@ -2,7 +2,8 @@ package graft.pages
 
 import graft.correct.{Cells, Correctors, Fd, Pdep}
 import graft.rollup.Rollup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The north-rule pipeline: rule-based error detection -> corrector
@@ -16,95 +17,119 @@ import org.apache.spark.sql.functions._
   *    per-url byte-identity invariant holds by construction);
   *  - `warc_ts`: re-parsed from the html header comment;
   *  - `lang`: FD corrector over domain->lang (gpdep-weighted count
-  *    model, A13 decision rule).
+  *    model, A13 decision applied once per lhs value — see
+  *    `Correctors.decideBy`).
+  *
+  * Scan discipline (the property that matters at 10^12 rows): the big
+  * table is scanned exactly three times end to end —
+  *   1. domain->lang count model (one hash aggregate, tiny result);
+  *   2. masked count model for the FD corrector (same shape);
+  *   3. the single output pass that flags + repairs every cell with
+  *      pure expressions and two broadcast joins (majority model,
+  *      per-domain decision).
+  * Everything else operates on error-fraction-sized or
+  * model-sized relations.
   */
 object PagePipeline {
 
+  private def flagCols(majorityJoined: DataFrame): DataFrame =
+    majorityJoined
+      .withColumn("__ts_bad", col("warc_ts") <= timestamp_seconds(lit(0L)))
+      .withColumn("__text_bad", col("text") === "" && length(col("html")) > 0)
+      .withColumn("__lang_bad", col("lang") =!= col("__majority_lang"))
+
+  /** Domain-majority lang model: one aggregate + per-domain argmax
+    * with lexicographic tie-break (tiny relation, broadcast by
+    * callers).
+    */
+  def majorityLang(withDomain: DataFrame): DataFrame = {
+    val counts = withDomain.groupBy("domain", "lang").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("domain").orderBy(col("cnt").desc, col("lang").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("domain"), col("lang").as("__majority_lang"))
+  }
+
+  private def withIdDomain(pages: DataFrame): DataFrame =
+    PageGen.withRowId(pages).withColumn("domain", PageGen.domainOf("url"))
+
   /** Rule-based detection (SURVEY.md §2.1 S7): returns the standard
-    * error-cell relation `(row_id, col, error_value)`.
+    * error-cell relation `(row_id, col, error_value)` in a single pass
+    * over the flagged table (conditional-array explode, no unions of
+    * separate scans).
     *  - warc_ts at/before epoch -> mangled timestamp;
     *  - empty text with non-empty html -> nulled text;
     *  - lang differing from its domain's majority lang -> mislabel.
     */
   def detectErrors(pages: DataFrame): DataFrame = {
-    val withId = PageGen
-      .withRowId(pages)
-      .withColumn("domain", PageGen.domainOf("url"))
-
-    val tsErrors = withId
-      .filter(col("warc_ts") <= timestamp_seconds(lit(0L)))
-      .select(col("row_id"), lit("warc_ts").as("col"), col("warc_ts").cast("string").as("error_value"))
-
-    val textErrors = withId
-      .filter(col("text") === "" && length(col("html")) > 0)
-      .select(col("row_id"), lit("text").as("col"), col("text").as("error_value"))
-
-    // domain-majority lang (two-phase count + argmax; ties break lex)
-    val counts = withId.groupBy("domain", "lang").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("domain")
-      .orderBy(col("cnt").desc, col("lang").asc)
-    val majority = counts
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("domain"), col("lang").as("majority_lang"))
-    val langErrors = withId
-      .join(broadcast(majority), "domain")
-      .filter(col("lang") =!= col("majority_lang"))
-      .select(col("row_id"), lit("lang").as("col"), col("lang").as("error_value"))
-
-    tsErrors.unionByName(textErrors).unionByName(langErrors)
+    val withId = withIdDomain(pages)
+    val flagged = flagCols(withId.join(broadcast(majorityLang(withId)), "domain"))
+    flagged
+      .select(
+        col("row_id"),
+        explode(
+          expr(
+            """filter(array(
+                 if(__ts_bad,   struct('warc_ts' as col, cast(warc_ts as string) as error_value), null),
+                 if(__text_bad, struct('text'    as col, text                    as error_value), null),
+                 if(__lang_bad, struct('lang'    as col, lang                    as error_value), null)
+               ), x -> x is not null)"""
+          )
+        ).as("e")
+      )
+      .select(col("row_id"), col("e.col").as("col"), col("e.error_value").as("error_value"))
   }
 
   /** Repair all detected errors; returns the corrected page table with
     * the original five columns.
     */
   def repair(pages: DataFrame): DataFrame = {
-    val withId = PageGen
-      .withRowId(pages)
-      .withColumn("domain", PageGen.domainOf("url"))
-    val errors = detectErrors(pages)
+    val withId = withIdDomain(pages)
+    val majority = broadcast(majorityLang(withId))
+    val flagged = flagCols(withId.join(majority, "domain"))
 
+    // FD corrector model for lang (domain -> lang), masked at row
+    // level over the FD's columns exactly like Pdep.fdCounts: rows
+    // whose lang is flagged are excluded from the count model.
+    val fd = Fd(Seq("domain"), "lang")
+    val counts = flagged
+      .filter(!col("__lang_bad"))
+      .groupBy("domain", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lhs_cnt", sum(col("cnt")).over(Window.partitionBy("domain")))
+      .cache()
+    val stats = Pdep.statsFromCounts(counts, fd)
+    // single FD: norm_gpdep = 1 when gpdep > 0 (normalized over itself)
+    val normGpdep = stats.gpdep.map(g => if (g > 0) 1.0 else 0.0).getOrElse(0.0)
+
+    // per-lhs-value decision (equivalent to per-cell A13 here — every
+    // error cell of a domain sees identical suggestions)
+    val sugg = counts.select(
+      col("domain"),
+      col("lang").as("candidate"),
+      lit(normGpdep).as("score")
+    )
+    val decided = Correctors
+      .decideBy(sugg, Seq("domain"))
+      .select(col("domain"), col("candidate").as("__lang_fix"))
+
+    // single output pass: pure-expression repairs + broadcast join
     val htmlStr = decode(col("html"), "UTF-8")
-
-    // direct expression repairs: exact values recovered from html
-    val tsRepairs = withId
-      .join(errors.filter(col("col") === "warc_ts").select("row_id"), Seq("row_id"))
+    flagged
+      .join(broadcast(decided), Seq("domain"), "left")
       .select(
-        col("row_id"),
-        lit("warc_ts").as("col"),
-        regexp_extract(htmlStr, "<!--warc_ts:(\\d+)-->", 1).as("value")
+        col("url"),
+        when(
+          col("__ts_bad"),
+          timestamp_seconds(regexp_extract(htmlStr, "<!--warc_ts:(\\d+)-->", 1).cast("long"))
+        ).otherwise(col("warc_ts")).as("warc_ts"),
+        col("html"),
+        when(col("__text_bad"), regexp_extract(htmlStr, "(?s)<body>(.*)</body>", 1))
+          .otherwise(col("text")).as("text"),
+        when(col("__lang_bad") && col("__lang_fix").isNotNull, col("__lang_fix"))
+          .otherwise(col("lang")).as("lang")
       )
-    val textRepairs = withId
-      .join(errors.filter(col("col") === "text").select("row_id"), Seq("row_id"))
-      .select(
-        col("row_id"),
-        lit("text").as("col"),
-        regexp_extract(htmlStr, "(?s)<body>(.*)</body>", 1).as("value")
-      )
-
-    // FD corrector for lang over domain->lang
-    val strTable = withId.select(col("row_id"), col("domain"), col("lang"))
-    val langErrors = errors.filter(col("col") === "lang")
-    val fds = Seq(Fd(Seq("domain"), "lang"))
-    val gpdeps = Pdep.gpdepTable(strTable, langErrors, "row_id", fds)
-    val langSugg = Correctors.fdCorrector(strTable, langErrors, "row_id", gpdeps, fds)
-    val langRepairs = Correctors.decide(langSugg)
-
-    // string-typed cells overlay via the standard correction-apply path
-    val corrections = textRepairs.unionByName(langRepairs)
-    val repairedWide = Cells.applyCorrections(withId, corrections, "row_id", Seq("text", "lang"))
-
-    // timestamp repair applied separately (epoch-seconds string -> ts)
-    val tsFix = tsRepairs.select(col("row_id"), col("value").as("ts_epoch"))
-    repairedWide
-      .join(tsFix, Seq("row_id"), "left")
-      .withColumn(
-        "warc_ts",
-        when(col("ts_epoch").isNotNull, timestamp_seconds(col("ts_epoch").cast("long")))
-          .otherwise(col("warc_ts"))
-      )
-      .select("url", "warc_ts", "html", "text", "lang")
   }
 
   /** Corrected pages -> hourly tier keyed by domain, with point count,

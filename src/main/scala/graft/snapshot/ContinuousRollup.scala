@@ -1,0 +1,136 @@
+package graft.snapshot
+
+import graft.rollup.{Rollup, Tiers}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Continuous aggregates over an Iceberg-lite snapshot table
+  * (SURVEY.md §2.10): tier tables are kept up to date by recomputing
+  * ONLY the tier partitions touched by rows added since the last
+  * applied snapshot (the snapshot manifest diff), via dynamic
+  * partition overwrite.
+  *
+  * Partitioning: 1m/1h/1d tiers partition by the point day (`part_key`
+  * = bucket day); the 30d tier partitions by its window start. A
+  * touched partition is recomputed WHOLE from the source restricted to
+  * that partition's time range — so the update is a pure function of
+  * (source ≤ snapshot N), which makes it:
+  *   - idempotent: a crash between tier writes and the `_applied`
+  *     marker re-runs the same recompute and overwrites identical
+  *     bytes;
+  *   - late-data-safe: pages with old `warc_ts` in a new snapshot
+  *     re-touch old partitions through the same path (no watermark
+  *     drop).
+  *
+  * Scale notes: `allRows` below prunes to touched partitions via a
+  * broadcast semi-join on the partition key; on a partitioned source
+  * table that predicate is partition pruning at the scan. Only new
+  * files decide WHAT to recompute — manifests are directory-level, so
+  * the diff never scans data.
+  *
+  * Per-partition lineage rows + per-run metrics append to
+  * `tiersRoot/_lineage` / `tiersRoot/_metrics`.
+  */
+object ContinuousRollup {
+
+  private def appliedPath(tiersRoot: String) = Paths.get(tiersRoot, "_applied")
+
+  def lastApplied(tiersRoot: String): Long = {
+    val p = appliedPath(tiersRoot)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong else 0L
+  }
+
+  private def writeApplied(tiersRoot: String, id: Long): Unit = {
+    Files.createDirectories(Paths.get(tiersRoot))
+    val tmp = Files.createTempFile(Paths.get(tiersRoot), ".tmp", ".marker")
+    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(
+      tmp,
+      appliedPath(tiersRoot),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING
+    )
+  }
+
+  private def tierPath(tiersRoot: String, tier: String) = s"$tiersRoot/tier_$tier"
+
+  def readTier(spark: SparkSession, tiersRoot: String, tier: String): DataFrame =
+    spark.read.parquet(tierPath(tiersRoot, tier)).drop("part_key")
+
+  /** Partition key of a raw point for a tier: the day (1m/1h/1d) or
+    * the 30d window start — chosen so recomputing a partition needs
+    * exactly the raw rows carrying that key.
+    */
+  private def partKeyOfPoint(tsCol: String, tier: String): Column = tier match {
+    case "30d" => to_date(Tiers.bucket(col(tsCol), "30d"))
+    case _     => to_date(date_trunc("day", col(tsCol)))
+  }
+
+  private def partKeyOfBucket(tier: String): Column = tier match {
+    case "30d" => to_date(col("bucket_ts"))
+    case _     => to_date(date_trunc("day", col("bucket_ts")))
+  }
+
+  /** Fold all snapshots newer than the applied marker into every tier.
+    * Returns the new applied snapshot id (unchanged if nothing new).
+    */
+  def update(
+      spark: SparkSession,
+      sourceRoot: String,
+      tiersRoot: String,
+      series: Seq[String],
+      tsCol: String,
+      sizeCol: Column,
+      langCol: Option[String] = None
+  ): Long = {
+    val from = lastApplied(tiersRoot)
+    val to = SnapshotStore.currentSnapshotId(sourceRoot)
+    if (to <= from) return from
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val newRows = SnapshotStore.readRange(spark, sourceRoot, from, to)
+    val allRows = SnapshotStore.readRange(spark, sourceRoot, 0L, to)
+
+    val lineageRows = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long)]()
+    val t0 = System.nanoTime()
+
+    Tiers.All.foreach { tier =>
+      val touched = newRows.select(partKeyOfPoint(tsCol, tier).as("part_key")).distinct()
+      val affected = allRows
+        .withColumn("part_key", partKeyOfPoint(tsCol, tier))
+        .join(broadcast(touched), Seq("part_key"), "left_semi")
+      val recomputed = Rollup
+        .fromRaw(affected, series, tsCol, tier, sizeCol, langCol = langCol)
+        .withColumn("part_key", partKeyOfBucket(tier))
+      val path = tierPath(tiersRoot, tier)
+      val exists = Files.exists(Paths.get(path))
+      val out = recomputed.cache()
+      val nOut = out.count()
+      out.write
+        .mode(if (exists) "overwrite" else "errorifexists")
+        .partitionBy("part_key")
+        .parquet(path)
+      val touchedParts = out.select("part_key").distinct().count()
+      lineageRows += ((tier, s"($from,$to]", nOut, touchedParts, to))
+      out.unpersist()
+    }
+
+    import spark.implicits._
+    lineageRows.toSeq
+      .toDF("tier", "snapshot_range", "rows_out", "partitions_touched", "applied_snapshot")
+      .write
+      .mode("append")
+      .parquet(s"$tiersRoot/_lineage")
+    Seq((to, (System.nanoTime() - t0) / 1e9, java.time.Instant.now.toString))
+      .toDF("applied_snapshot", "update_seconds", "wall_clock")
+      .write
+      .mode("append")
+      .parquet(s"$tiersRoot/_metrics")
+
+    writeApplied(tiersRoot, to)
+    to
+  }
+}
