@@ -327,8 +327,150 @@ object SparkEntry {
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Ann.ivfTopK(emb, q, k = 10).drop("sim")
+    }),
+
+    // ---- pdep/gpdep statistics (A4-A8) as a relation ----
+    "q29_pdep_stats" -> ((s, dir) => {
+      import s.implicits._
+      val base = corruptible(s, dir, corrupt = false)
+      val noErr = s.emptyDataset[graft.correct.ErrorCell].toDF()
+      Pdep.statsDF(base, noErr, "row_id", Seq(Fd(Seq("nation"), "segment"), Fd(Seq("decile"), "segment")))
+    }),
+
+    // ---- FD corrector with gpdep-weighted scores (M2: J2+A10) ----
+    "q30_fd_corrector" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true)
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      val fds = Seq(Fd(Seq("nation"), "segment"), Fd(Seq("decile"), "segment"))
+      val gp = Pdep.gpdepTable(base, errors, "row_id", fds)
+      Correctors
+        .fdCorrector(base, errors, "row_id", gp, fds)
+        .select(col("row_id"), col("candidate"), round(col("score"), 6).as("score"))
+    }),
+
+    // ---- count-based frequency imputer (M1 replacement, P5 filters) ----
+    "q31_imputer" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true).drop("decile")
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      Correctors
+        .frequencyImputer(base, errors, "row_id", Seq("nation", "segment"))
+        .select(col("row_id"), col("candidate"), round(col("score"), 6).as("score"))
+    }),
+
+    // ---- user-label overlay (J5: combine_first ≡ COALESCE) ----
+    "q32_user_overlay" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true).drop("decile")
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      val decided = Correctors.decide(
+        Correctors.vicinityCorrectorOrder1(base, errors, "row_id", Seq("nation", "segment"))
+      )
+      val user = base
+        .filter(pmod(col("row_id"), lit(51)) === 9)
+        .select(col("row_id"), lit("segment").as("col"), lit("USER_FIX").as("value"))
+      Correctors.overlayUserLabels(decided, user)
+    }),
+
+    // ---- cell-exact evaluation P/R/F1 (J7+A12), imperfect detection ----
+    "q33_evaluate" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true).drop("decile")
+      val detected = base
+        .filter(col("segment") === "__CORRUPT__" || pmod(col("row_id"), lit(29)) === 11)
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      val decided = Correctors.decide(
+        Correctors.vicinityCorrectorOrder1(base, detected, "row_id", Seq("nation", "segment"))
+      )
+      val actual = t(s, dir, "customer")
+        .filter(col("c_custkey") % 17 === 3)
+        .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("clean_value"))
+      Correctors.evaluateDF(decided, actual)
+    }),
+
+    // ---- gap fill: linear interpolation over the spine ----
+    "q34_gapfill_interp" -> ((s, dir) => {
+      val hourly = Rollup
+        .fromRaw(
+          t(s, dir, "events"),
+          Seq("event_type"),
+          "ts",
+          "1h",
+          lit(0L),
+          Map("value_sum" -> round(col("value"), 6).cast("decimal(28,6)"))
+        )
+        .select(col("event_type"), col("bucket_ts"), col("value_sum").cast("double").as("value_sum"))
+      val gappy = hourly.filter(hour(col("bucket_ts")) % 4 =!= 1)
+      val spined = GapFill.withSpine(gappy, Seq("event_type"), "1h")
+      GapFill
+        .interpolate(spined, Seq("event_type"), "value_sum")
+        .select(col("event_type"), col("bucket_ts"), round(col("value_sum"), 6).as("value_sum"))
+    }),
+
+    // ---- dedup: embedding-cosine near-duplicate pairs ----
+    "q35_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      Ann.cosineNearDupPairs(emb, threshold = 0.4)
+    }),
+
+    // ---- value corrector: difflib transformation replay (M7/V1-V3) ----
+    "q36_value_corrector" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("row_id"), col("c_mktsegment").as("segment"))
+      val errors = base
+        .filter(pmod(col("row_id"), lit(23)) === 7)
+        .select(col("row_id"), lit("segment").as("col"), concat(lit("XX"), col("segment")).as("error_value"))
+      val pairs = Map("segment" -> Seq(("XXBUILDING", "BUILDING"), ("XXAUTOMOBILE", "AUTOMOBILE")))
+      Correctors
+        .valueCorrector(errors, pairs)
+        .select(col("row_id"), col("corrector"), col("candidate"), round(col("score"), 6).as("score"))
+    }),
+
+    // ---- continuous aggregate: two snapshot appends folded
+    //      incrementally must equal the one-shot rollup oracle ----
+    "q37_continuous_rollup" -> ((s, dir) => {
+      val root = "/tmp/graft_q37/src"
+      val tiers = "/tmp/graft_q37/tiers"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q37")
+      val ev = t(s, dir, "events")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      graft.snapshot.ContinuousRollup.update(s, root, tiers, Seq("event_type"), "ts", lit(0L))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      graft.snapshot.ContinuousRollup.update(s, root, tiers, Seq("event_type"), "ts", lit(0L))
+      graft.snapshot.ContinuousRollup
+        .readTier(s, tiers, "1h")
+        .select(col("event_type"), col("bucket_ts"), col("point_count"))
+    }),
+
+    // ---- A3 all-combination counts, order 1, cell-masked ----
+    "q38_all_counts" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = false)
+      val errors = base
+        .filter(pmod(col("row_id"), lit(13)) === 4)
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      Correctors.allCounts(base, errors, "row_id", Seq("nation", "decile", "segment"))
     })
   )
+
+  /** Shared fixture base for the corrector queries: customer with a
+    * string nation, a derived decile column, and (optionally) a
+    * deterministic S8-style corruption of the segment column.
+    */
+  private def corruptible(s: SparkSession, dir: String, corrupt: Boolean): DataFrame = {
+    val seg =
+      if (corrupt)
+        when(col("c_custkey") % 17 === 3, lit("__CORRUPT__")).otherwise(col("c_mktsegment"))
+      else col("c_mktsegment")
+    t(s, dir, "customer").select(
+      col("c_custkey").as("row_id"),
+      col("c_nationkey").cast("string").as("nation"),
+      pmod(col("c_custkey"), lit(10)).cast("string").as("decile"),
+      seg.as("segment")
+    )
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->
@@ -484,6 +626,169 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n_events, ${dsumSql("value")} AS value_sum
           FROM events GROUP BY 1""",
     "q21_lang_hist" ->
-      """SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2"""
+      """SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2""",
+    "q29_pdep_stats" ->
+      """WITH base AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(c_custkey % 10 AS VARCHAR) AS decile, c_mktsegment AS segment FROM customer),
+         nn AS (SELECT count(*) AS n FROM base),
+         pb AS (SELECT sum(c * c) AS ss FROM (SELECT count(*) * 1.0 AS c FROM base GROUP BY segment)),
+         c1 AS (SELECT nation AS lhs, segment, count(*) * 1.0 AS cnt FROM base GROUP BY 1, 2),
+         m1 AS (SELECT lhs, sum(cnt) AS lhs_cnt FROM c1 GROUP BY 1),
+         s1 AS (SELECT sum(c1.cnt * c1.cnt / m1.lhs_cnt) AS sp, count(DISTINCT c1.lhs) AS da FROM c1 JOIN m1 USING (lhs)),
+         c2 AS (SELECT decile AS lhs, segment, count(*) * 1.0 AS cnt FROM base GROUP BY 1, 2),
+         m2 AS (SELECT lhs, sum(cnt) AS lhs_cnt FROM c2 GROUP BY 1),
+         s2 AS (SELECT sum(c2.cnt * c2.cnt / m2.lhs_cnt) AS sp, count(DISTINCT c2.lhs) AS da FROM c2 JOIN m2 USING (lhs)),
+         stats AS (
+           SELECT 'nation->segment' AS fd_key, nn.n AS n,
+                  pb.ss / (nn.n * 1.0 * nn.n) AS pdep_b, s1.sp / nn.n AS pdep_ab, s1.da AS da
+           FROM nn, pb, s1
+           UNION ALL
+           SELECT 'decile->segment', nn.n, pb.ss / (nn.n * 1.0 * nn.n), s2.sp / nn.n, s2.da FROM nn, pb, s2),
+         fs AS (
+           SELECT fd_key, n, pdep_b, pdep_ab,
+                  pdep_b + (da - 1) * 1.0 / (n - 1) * (1 - pdep_b) AS epdep,
+                  pdep_ab - (pdep_b + (da - 1) * 1.0 / (n - 1) * (1 - pdep_b)) AS gpdep
+           FROM stats)
+         SELECT fd_key, n, round(pdep_b, 6) AS pdep_b, round(pdep_ab, 6) AS pdep_ab,
+                round(epdep, 6) AS epdep, round(gpdep, 6) AS gpdep,
+                round(CASE WHEN (SELECT sum(gpdep) FROM fs) > 0
+                           THEN gpdep / (SELECT sum(gpdep) FROM fs) ELSE 0 END, 6) AS norm_gpdep
+         FROM fs""",
+    "q30_fd_corrector" ->
+      """WITH corrupted AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(c_custkey % 10 AS VARCHAR) AS decile,
+             CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment FROM customer),
+         masked AS (SELECT * FROM corrupted WHERE segment <> '__CORRUPT__'),
+         nn AS (SELECT count(*) AS n FROM masked),
+         pb AS (SELECT sum(c * c) AS ss FROM (SELECT count(*) * 1.0 AS c FROM masked GROUP BY segment)),
+         c1 AS (SELECT nation AS lhs, segment AS candidate, count(*) * 1.0 AS cnt FROM masked GROUP BY 1, 2),
+         m1 AS (SELECT lhs, sum(cnt) AS lhs_cnt FROM c1 GROUP BY 1),
+         s1 AS (SELECT sum(c1.cnt * c1.cnt / m1.lhs_cnt) AS sp, count(DISTINCT c1.lhs) AS da FROM c1 JOIN m1 USING (lhs)),
+         c2 AS (SELECT decile AS lhs, segment AS candidate, count(*) * 1.0 AS cnt FROM masked GROUP BY 1, 2),
+         m2 AS (SELECT lhs, sum(cnt) AS lhs_cnt FROM c2 GROUP BY 1),
+         s2 AS (SELECT sum(c2.cnt * c2.cnt / m2.lhs_cnt) AS sp, count(DISTINCT c2.lhs) AS da FROM c2 JOIN m2 USING (lhs)),
+         fs AS (
+           SELECT 'f1' AS f, pb.ss / (nn.n * 1.0 * nn.n) AS pdep_b, s1.sp / nn.n AS pdep_ab, s1.da AS da, nn.n AS n
+           FROM nn, pb, s1
+           UNION ALL
+           SELECT 'f2', pb.ss / (nn.n * 1.0 * nn.n), s2.sp / nn.n, s2.da, nn.n FROM nn, pb, s2),
+         g AS (SELECT f, pdep_ab - (pdep_b + (da - 1) * 1.0 / (n - 1) * (1 - pdep_b)) AS gpdep FROM fs),
+         ng AS (SELECT f, CASE WHEN (SELECT sum(gpdep) FROM g) > 0
+                               THEN gpdep / (SELECT sum(gpdep) FROM g) ELSE 0 END AS ng FROM g),
+         err AS (SELECT row_id, nation, decile FROM corrupted WHERE segment = '__CORRUPT__'),
+         sugg AS (
+           SELECT e.row_id, c1.candidate, (SELECT ng FROM ng WHERE f = 'f1') AS score
+           FROM err e JOIN c1 ON e.nation = c1.lhs
+           UNION ALL
+           SELECT e.row_id, c2.candidate, (SELECT ng FROM ng WHERE f = 'f2')
+           FROM err e JOIN c2 ON e.decile = c2.lhs)
+         SELECT row_id, candidate, round(sum(score), 6) AS score FROM sugg GROUP BY 1, 2""",
+    "q31_imputer" ->
+      """WITH corrupted AS (SELECT c_custkey AS row_id,
+             CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment FROM customer),
+         freq AS (SELECT segment AS candidate, count(*) AS cnt FROM corrupted
+                  WHERE segment <> '__CORRUPT__' GROUP BY 1),
+         tot AS (SELECT sum(cnt) * 1.0 AS s FROM freq)
+         SELECT e.row_id, f.candidate, round(f.cnt / t.s, 6) AS score
+         FROM (SELECT row_id FROM corrupted WHERE segment = '__CORRUPT__') e
+         CROSS JOIN freq f CROSS JOIN tot t
+         WHERE f.cnt / t.s >= 0.001 AND f.candidate <> '__CORRUPT__'""",
+    "q32_user_overlay" ->
+      """WITH corrupted AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment FROM customer),
+         counts AS (SELECT nation, segment AS seg, count(*) AS cnt FROM corrupted
+                    WHERE segment <> '__CORRUPT__' GROUP BY 1, 2),
+         best AS (SELECT nation, seg, row_number() OVER (PARTITION BY nation ORDER BY cnt DESC, seg ASC) AS rn
+                  FROM counts),
+         decided AS (SELECT c.row_id, 'segment' AS col, b.seg AS value
+                     FROM corrupted c JOIN best b ON c.nation = b.nation AND b.rn = 1
+                     WHERE c.segment = '__CORRUPT__'),
+         usr AS (SELECT c_custkey AS row_id, 'segment' AS col, 'USER_FIX' AS value
+                 FROM customer WHERE c_custkey % 51 = 9)
+         SELECT coalesce(d.row_id, u.row_id) AS row_id, coalesce(d.col, u.col) AS col,
+                coalesce(u.value, d.value) AS value
+         FROM decided d FULL OUTER JOIN usr u ON d.row_id = u.row_id AND d.col = u.col""",
+    "q33_evaluate" ->
+      """WITH corrupted AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment FROM customer),
+         detected AS (SELECT row_id, nation FROM corrupted WHERE segment = '__CORRUPT__' OR row_id % 29 = 11),
+         counts AS (SELECT nation, segment AS seg, count(*) AS cnt FROM corrupted c
+                    WHERE NOT EXISTS (SELECT 1 FROM detected d WHERE d.row_id = c.row_id) GROUP BY 1, 2),
+         best AS (SELECT nation, seg, row_number() OVER (PARTITION BY nation ORDER BY cnt DESC, seg ASC) AS rn
+                  FROM counts),
+         decided AS (SELECT d.row_id, b.seg AS value FROM detected d JOIN best b ON d.nation = b.nation AND b.rn = 1),
+         actual AS (SELECT c_custkey AS row_id, c_mktsegment AS clean_value FROM customer WHERE c_custkey % 17 = 3),
+         j AS (SELECT d.row_id, d.value, a.clean_value FROM decided d LEFT JOIN actual a USING (row_id)),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS output_size,
+                        CAST(coalesce(sum(CASE WHEN clean_value IS NOT NULL THEN 1 END), 0) AS BIGINT) AS ed_tp,
+                        CAST(coalesce(sum(CASE WHEN clean_value = value THEN 1 END), 0) AS BIGINT) AS ec_tp
+                 FROM j),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_actual FROM actual),
+         pr AS (SELECT output_size, n_actual, ed_tp, ec_tp,
+                       CASE WHEN output_size = 0 THEN 0.0 ELSE ed_tp * 1.0 / output_size END AS ed_p,
+                       CASE WHEN n_actual = 0 THEN 0.0 ELSE ed_tp * 1.0 / n_actual END AS ed_r,
+                       CASE WHEN output_size = 0 THEN 0.0 ELSE ec_tp * 1.0 / output_size END AS ec_p,
+                       CASE WHEN n_actual = 0 THEN 0.0 ELSE ec_tp * 1.0 / n_actual END AS ec_r
+                FROM agg, nn)
+         SELECT output_size, n_actual, ed_tp, ec_tp,
+                round(ed_p, 6) AS ed_p, round(ed_r, 6) AS ed_r,
+                round(CASE WHEN ed_p + ed_r = 0 THEN 0.0 ELSE 2 * ed_p * ed_r / (ed_p + ed_r) END, 6) AS ed_f,
+                round(ec_p, 6) AS ec_p, round(ec_r, 6) AS ec_r,
+                round(CASE WHEN ec_p + ec_r = 0 THEN 0.0 ELSE 2 * ec_p * ec_r / (ec_p + ec_r) END, 6) AS ec_f
+         FROM pr""",
+    "q34_gapfill_interp" ->
+      s"""WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_ts, ${dsumSql("value")} AS value_sum
+            FROM events GROUP BY 1, 2),
+          gappy AS (SELECT * FROM hourly WHERE hour(bucket_ts) % 4 <> 1),
+          nums AS (SELECT unnest(generate_series(0, 100000)) AS i),
+          bounds AS (SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM gappy GROUP BY 1),
+          spine AS (SELECT b.event_type, b.lo + to_hours(n.i) AS bucket_ts
+                    FROM bounds b JOIN nums n ON b.lo + to_hours(n.i) <= b.hi),
+          j AS (SELECT s.event_type, s.bucket_ts, g.value_sum
+                FROM spine s LEFT JOIN gappy g ON s.event_type = g.event_type AND s.bucket_ts = g.bucket_ts),
+          w AS (SELECT event_type, bucket_ts, value_sum, epoch(bucket_ts) AS ts_d,
+                       last_value(value_sum IGNORE NULLS) OVER wa AS prev_v,
+                       last_value(CASE WHEN value_sum IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS) OVER wa AS prev_t,
+                       first_value(value_sum IGNORE NULLS) OVER wd AS next_v,
+                       first_value(CASE WHEN value_sum IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS) OVER wd AS next_t
+                FROM j
+                WINDOW wa AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wd AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          SELECT event_type, bucket_ts,
+                 round(CASE WHEN value_sum IS NOT NULL THEN value_sum
+                            WHEN prev_v IS NULL THEN next_v
+                            WHEN next_v IS NULL THEN prev_v
+                            WHEN next_t = prev_t THEN prev_v
+                            ELSE prev_v + (next_v - prev_v) * (ts_d - prev_t) / (next_t - prev_t) END, 6) AS value_sum
+          FROM w""",
+    "q35_embed_neardup" ->
+      """WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         p AS (SELECT a.id AS id_a, b.id AS id_b,
+                      list_dot_product(a.e, b.e) /
+                        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+               FROM c a JOIN c b ON a.id < b.id)
+         SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.4""",
+    "q36_value_corrector" ->
+      """SELECT e.row_id, t.corrector, e.seg AS candidate, CAST(1.0 AS DOUBLE) AS score
+         FROM (SELECT c_custkey AS row_id, c_mktsegment AS seg FROM customer
+               WHERE c_custkey % 23 = 7 AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')) e
+         CROSS JOIN (VALUES ('value_remover_identity'), ('value_remover_unicode'),
+                            ('value_swapper_identity'), ('value_swapper_unicode')) AS t(corrector)""",
+    "q37_continuous_rollup" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS point_count
+         FROM events GROUP BY 1, 2""",
+    "q38_all_counts" ->
+      """WITH base AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(c_custkey % 10 AS VARCHAR) AS decile, c_mktsegment AS segment FROM customer),
+         cells AS (
+           SELECT row_id, 'nation' AS col, nation AS value FROM base
+           UNION ALL SELECT row_id, 'decile', decile FROM base
+           UNION ALL SELECT row_id, 'segment', segment FROM base),
+         masked AS (SELECT * FROM cells WHERE NOT (col = 'segment' AND row_id % 13 = 4))
+         SELECT a.col AS lhs_col, b.col AS rhs_col, a.value AS lhs_val, b.value AS candidate,
+                count(*) AS cnt
+         FROM masked a JOIN masked b ON a.row_id = b.row_id AND a.col <> b.col
+         GROUP BY 1, 2, 3, 4"""
   )
 }

@@ -11,13 +11,24 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // TimestampType -> TIMESTAMP_NTZ (identity under the UTC session
+      // TZ): the parquet dump then reads back tz-naive microseconds,
+      // exactly like the DuckDB oracle's timestamps.
+      try {
+        val out = fn(spark, sfDir)
+        val cast = out.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+          .foldLeft(out)((a, f) =>
+            a.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+              .cast(org.apache.spark.sql.types.TimestampNTZType)))
+        cast.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

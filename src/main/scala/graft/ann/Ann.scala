@@ -54,6 +54,25 @@ object Ann {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
+    * with cosine similarity >= threshold. Exactness baseline for
+    * near-dup detection over embeddings; the self-join is the O(n^2)
+    * truth path — at scale, run the same rerank only within
+    * `lshBucket` buckets (see `lshTopK`) to keep candidate generation
+    * linear. Norms are precomputed once per side so the pair loop does
+    * one dot product, and the id inequality halves the pair space.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val withNorm = emb.select(col("id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = withNorm.toDF("id_a", "emb_a", "nrm_a")
+    val b = withNorm.toDF("id_b", "emb_b", "nrm_b")
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component
     * derived from xxhash64(p, d) scaled to [-1, 1].
     */

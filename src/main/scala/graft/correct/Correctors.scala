@@ -1,7 +1,7 @@
 package graft.correct
 
 import graft.core.ValueModels
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,26 +84,7 @@ object Correctors {
       cols: Seq[String]
   ): DataFrame = {
     val cells = Cells.melt(df, rowId, cols)
-    val masked = cells.join(
-      errors.select("row_id", "col"),
-      Seq("row_id", "col"),
-      "left_anti"
-    )
-    val a = masked.select(
-      col("row_id"),
-      col("col").as("lhs_col"),
-      col("value").as("lhs_val")
-    )
-    val b = masked.select(
-      col("row_id"),
-      col("col").as("rhs_col"),
-      col("value").as("candidate")
-    )
-    val counts = a
-      .join(b, "row_id")
-      .filter(col("lhs_col") =!= col("rhs_col"))
-      .groupBy("lhs_col", "rhs_col", "lhs_val", "candidate")
-      .agg(count(lit(1)).as("cnt"))
+    val counts = allCounts(df, errors, rowId, cols)
     val wm = Window.partitionBy("lhs_col", "rhs_col", "lhs_val")
     val countsPr = counts.withColumn("pr", col("cnt") / sum("cnt").over(wm))
 
@@ -124,6 +105,25 @@ object Correctors {
         col("candidate"),
         col("pr").as("score")
       )
+  }
+
+  /** A3 all-combination count model, order 1 (reference
+    * `mine_all_counts`, `src/pdep.py:101-158`): cell-masked
+    * co-occurrence counts for EVERY ordered (lhs_col, rhs_col) column
+    * pair, mined in one melt + one self-join on row_id + one hash
+    * aggregate. Error cells are excluded at cell granularity (either
+    * side), matching the reference's per-cell masking.
+    */
+  def allCounts(df: DataFrame, errors: DataFrame, rowId: String, cols: Seq[String]): DataFrame = {
+    val masked = Cells
+      .melt(df, rowId, cols)
+      .join(errors.select("row_id", "col"), Seq("row_id", "col"), "left_anti")
+    val a = masked.select(col("row_id"), col("col").as("lhs_col"), col("value").as("lhs_val"))
+    val b = masked.select(col("row_id"), col("col").as("rhs_col"), col("value").as("candidate"))
+    a.join(b, "row_id")
+      .filter(col("lhs_col") =!= col("rhs_col"))
+      .groupBy("lhs_col", "rhs_col", "lhs_val", "candidate")
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Value corrector (reference `src/correction.py:148-219`): value
@@ -229,6 +229,38 @@ object Correctors {
     decided
       .join(u, Seq("row_id", "col"), "full_outer")
       .select(col("row_id"), col("col"), coalesce(col("user_value"), col("value")).as("value"))
+  }
+
+  /** Cell-exact evaluation as a one-row DataFrame (reference
+    * `src/dataset.py:249-272`): detection & correction P/R/F1 from one
+    * left join of the emitted corrections against the actual-error
+    * cells, plus the raw TP/size counters. Fully declarative — the two
+    * counts and six ratios come out of a single aggregate over the
+    * (error-fraction-sized) join, no driver loop.
+    */
+  def evaluateDF(corrections: DataFrame, actualErrors: DataFrame): DataFrame = {
+    val a = actualErrors.select(col("row_id"), col("col"), col("clean_value"))
+    val c = corrections.select(col("row_id"), col("col"), col("value"))
+    val nActual = actualErrors.select(count(lit(1)).as("n_actual"))
+    val agg = c
+      .join(a, Seq("row_id", "col"), "left")
+      .agg(
+        count(lit(1)).as("output_size"),
+        coalesce(sum(when(col("clean_value").isNotNull, 1L)), lit(0L)).as("ed_tp"),
+        coalesce(sum(when(col("clean_value") === col("value"), 1L)), lit(0L)).as("ec_tp")
+      )
+    def prf(tp: Column, prefix: String): Seq[Column] = {
+      val p = when(col("output_size") === 0, 0.0).otherwise(tp / col("output_size"))
+      val r = when(col("n_actual") === 0, 0.0).otherwise(tp / col("n_actual"))
+      val f = when(p + r === 0.0, 0.0).otherwise(lit(2.0) * p * r / (p + r))
+      Seq(round(p, 6).as(s"${prefix}_p"), round(r, 6).as(s"${prefix}_r"), round(f, 6).as(s"${prefix}_f"))
+    }
+    agg
+      .crossJoin(nActual)
+      .select(
+        col("output_size") +: col("n_actual") +: col("ed_tp") +: col("ec_tp") +:
+          (prf(col("ed_tp"), "ed") ++ prf(col("ec_tp"), "ec")): _*
+      )
   }
 
   /** Cell-exact evaluation (reference `src/dataset.py:249-272`):

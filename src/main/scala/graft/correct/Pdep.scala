@@ -111,6 +111,25 @@ object Pdep {
     PdepStats(fd, n, Some(pdepBVal), Some(pdepABVal), epdepVal, gpdepVal)
   }
 
+  /** The gpdep table as a DataFrame: one row per FD with all four
+    * statistics plus the per-rhs normalized gpdep, doubles rounded to 6
+    * for oracle-stable output. The per-FD aggregates run as Spark jobs
+    * (model-sized results); the assembled relation is tiny by
+    * construction (|FDs| rows).
+    */
+  def statsDF(df: DataFrame, errors: DataFrame, rowId: String, fds: Seq[Fd]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    gpdepTable(df, errors, rowId, fds).toSeq
+      .sortBy(_._1)
+      .map { case (k, (s, ng)) => (k, s.n, s.pdepB, s.pdepAB, s.epdep, s.gpdep, ng) }
+      .toDF("fd_key", "n", "pdep_b", "pdep_ab", "epdep", "gpdep", "norm_gpdep")
+      .select(
+        col("fd_key") +: col("n") +:
+          Seq("pdep_b", "pdep_ab", "epdep", "gpdep", "norm_gpdep").map(c => round(col(c), 6).as(c)): _*
+      )
+  }
+
   /** gpdep for a set of FDs, plus per-rhs normalization
     * (`norm_gpdep = gpdep / sum(gpdep over lhs for this rhs)` when the
     * sum is positive — reference `src/correction.py:541-553`).

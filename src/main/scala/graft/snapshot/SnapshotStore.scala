@@ -82,6 +82,18 @@ object SnapshotStore {
     id
   }
 
+  /** Recursive local-FS delete (test/fixture helper — production
+    * tables are append-only and never deleted through this).
+    */
+  def deleteRecursively(root: String): Unit = {
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   /** Full-table read at the current snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
     readRange(spark, root, 0L, currentSnapshotId(root))

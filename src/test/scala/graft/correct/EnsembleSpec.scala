@@ -1,0 +1,112 @@
+package graft.correct
+
+import graft.SparkSpec
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+
+/** Specs for the corrector-ensemble operators added around the q29-q38
+  * query set: the A3 all-combination count model, the cell-exact
+  * evaluator, the FD corrector with gpdep weighting, and the
+  * embedding-cosine near-dup pairs.
+  */
+class EnsembleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tbl = Seq(
+    (1L, "a", "x"),
+    (2L, "a", "x"),
+    (3L, "a", "y"),
+    (4L, "b", "z")
+  ).toDF("row_id", "l", "r")
+
+  test("allCounts masks error cells on either side of the pair") {
+    val errors = Seq(ErrorCell(3L, "r", "y")).toDF()
+    val counts = Correctors
+      .allCounts(tbl, errors, "row_id", Seq("l", "r"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    // row 3 contributes no (l,r) or (r,l) pair: its r-cell is masked
+    assert(
+      counts == Set(
+        ("l", "r", "a", "x", 2L),
+        ("l", "r", "b", "z", 1L),
+        ("r", "l", "x", "a", 2L),
+        ("r", "l", "z", "b", 1L)
+      )
+    )
+  }
+
+  test("evaluateDF computes detection and correction P/R/F1") {
+    // 2 corrections emitted; 1 lands on an actual error cell and fixes it;
+    // 2 actual errors exist -> ed: p=0.5 r=0.5 f=0.5; ec: same
+    val corrections = Seq(
+      Correction(1L, "r", "y"), // actual error, corrected right
+      Correction(2L, "r", "q") // false positive
+    ).toDF()
+    val actual = Seq(
+      (1L, "r", "y"),
+      (3L, "r", "w")
+    ).toDF("row_id", "col", "clean_value")
+    val row = Correctors.evaluateDF(corrections, actual).head()
+    assert(row.getAs[Long]("output_size") == 2L)
+    assert(row.getAs[Long]("n_actual") == 2L)
+    assert(row.getAs[Long]("ed_tp") == 1L)
+    assert(row.getAs[Long]("ec_tp") == 1L)
+    assert(row.getAs[Double]("ed_f") == 0.5)
+    assert(row.getAs[Double]("ec_f") == 0.5)
+  }
+
+  test("fdCorrector weights candidates by norm_gpdep and sums across FDs") {
+    val df = Seq(
+      (1L, "a", "p", "x"),
+      (2L, "a", "p", "x"),
+      (3L, "a", "q", "x"),
+      (4L, "b", "q", "y"),
+      (5L, "b", "q", "BAD")
+    ).toDF("row_id", "l1", "l2", "r")
+    val errors = Seq(ErrorCell(5L, "r", "BAD")).toDF()
+    val fds = Seq(Fd(Seq("l1"), "r"), Fd(Seq("l2"), "r"))
+    val gp = Pdep.gpdepTable(df, errors, "row_id", fds)
+    val sugg = Correctors
+      .fdCorrector(df, errors, "row_id", gp, fds)
+      .collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[String]("candidate"), r.getAs[Double]("score")))
+    // error row 5 has l1=b -> candidate y (from masked counts), l2=q ->
+    // candidates x and y; norm_gpdeps sum to 1 across the two FDs
+    val cands = sugg.map(_._2).toSet
+    assert(sugg.forall(_._1 == 5L))
+    assert(cands == Set("x", "y"))
+    val total = gp.values.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-9)
+    // y is supported by both FDs: its score is the sum of both norm_gpdeps
+    val yScore = sugg.filter(_._2 == "y").map(_._3).sum
+    assert(math.abs(yScore - 1.0) < 1e-9)
+  }
+
+  test("cosineNearDupPairs finds exactly the high-cosine pairs") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("id", "embedding")
+    val pairs = Ann
+      .cosineNearDupPairs(emb, threshold = 0.99)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("statsDF emits one row per FD with rounded stats") {
+    val noErr = spark.emptyDataset[ErrorCell].toDF()
+    val out = Pdep
+      .statsDF(tbl, noErr, "row_id", Seq(Fd(Seq("l"), "r")))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("fd_key") == "l->r")
+    assert(r.getAs[Long]("n") == 4L)
+    // pdep(l->r) = (2^2/3 + 1/3 + 1/1) / 4 = (4/3 + 1/3 + 1) / 4 = 2/3
+    assert(math.abs(r.getAs[Double]("pdep_ab") - 0.666667) < 1e-9)
+  }
+}
