@@ -452,6 +452,103 @@ object SparkEntry {
         .filter(pmod(col("row_id"), lit(13)) === 4)
         .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
       Correctors.allCounts(base, errors, "row_id", Seq("nation", "decile", "segment"))
+    }),
+
+    // ---- frozen LLM-cache corrector (S5+J4, M5/M6 cache join) ----
+    "q39_cache_corrector" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true).drop("decile")
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      val cache = t(s, dir, "customer")
+        .filter(col("c_custkey") % 17 === 3 || col("c_custkey") % 17 === 5)
+        .select(
+          col("c_custkey").as("row_id"),
+          lit("segment").as("col"),
+          lit("llm_correction").as("corrector"),
+          col("c_mktsegment").as("candidate"),
+          lit(0.9).as("score")
+        )
+      Correctors.cacheCorrector(errors, cache)
+    }),
+
+    // ---- unsupervised Narayan baseline (M11: J4 + W4 top-1) ----
+    "q40_narayan" -> ((s, dir) => {
+      val err = t(s, dir, "customer")
+        .filter(col("c_custkey") % 17 === 3)
+        .select(col("c_custkey").as("row_id"), col("c_mktsegment").as("truth"))
+      val cache = err
+        .select(col("row_id"), col("truth").as("candidate"), lit(0.8).as("score"))
+        .unionByName(err.select(col("row_id"), lit("MACHINERY").as("candidate"), lit(0.3).as("score")))
+      val w = Window.partitionBy("row_id").orderBy(col("score").desc, col("candidate").asc)
+      cache
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("row_id"), col("candidate").as("value"))
+    }),
+
+    // ---- in-engine FD mining (S6 replacement) ----
+    "q41_fd_mining" -> ((s, dir) => {
+      import s.implicits._
+      val base = corruptible(s, dir, corrupt = false).withColumn("natcopy", col("nation"))
+      val noErr = s.emptyDataset[graft.correct.ErrorCell].toDF()
+      Pdep.mineFds(base, noErr, "row_id", Seq("nation", "decile", "segment", "natcopy"))
+    }),
+
+    // ---- cell-wise table diff (J1: the error-detection oracle) ----
+    "q42_cell_diff" -> ((s, dir) => {
+      val dirty = corruptible(s, dir, corrupt = true).drop("decile")
+      val clean = corruptible(s, dir, corrupt = false).drop("decile")
+      Cells.cellDiff(dirty, clean, "row_id", Seq("nation", "segment"))
+    }),
+
+    // ---- W1 greedy labeling sample (top-k rows by error count) ----
+    "q43_sampling" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val errors = c
+        .filter(col("c_custkey") % 17 === 3)
+        .select(col("c_custkey").as("row_id"), lit("segment").as("col"), lit("x").as("error_value"))
+        .unionByName(
+          c.filter(col("c_custkey") % 23 === 5)
+            .select(col("c_custkey").as("row_id"), lit("nation").as("col"), lit("y").as("error_value"))
+        )
+      Correctors.greedySample(errors, 20)
+    }),
+
+    // ---- W2 Baran iterative sample (rows-only check) ----
+    "q44_baran_sample" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val errors = c
+        .filter(col("c_custkey") % 17 === 3)
+        .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("error_value"))
+        .unionByName(
+          c.filter(col("c_custkey") % 23 === 5)
+            .select(col("c_custkey").as("row_id"), lit("nation").as("col"), col("c_nationkey").cast("string").as("error_value"))
+        )
+      Correctors
+        .baranSample(errors, 20)
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong + 1, r) }
+        .toDF("rank", "row_id")
+    }),
+
+    // ---- M8 meta-learner: per-column GBT over pair features,
+    //      A13 fallback under the A14 guard (rows-only check) ----
+    "q45_meta_learner" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true).drop("decile")
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      val sugg = Correctors
+        .vicinityCorrectorOrder1(base, errors, "row_id", Seq("nation", "segment"))
+        .unionByName(Correctors.frequencyImputer(base, errors, "row_id", Seq("nation", "segment")))
+      val correctors = sugg.select("corrector").distinct().collect().map(_.getString(0)).sorted.toSeq
+      val features = graft.correct.MetaLearner.pairFeatures(sugg, correctors)
+      val labeled = t(s, dir, "customer")
+        .filter(col("c_custkey") % 17 === 3 && col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("clean_value"))
+      graft.correct.MetaLearner.trainPredict(features, correctors, labeled)
     })
   )
 
@@ -789,6 +886,43 @@ object SparkEntry {
          SELECT a.col AS lhs_col, b.col AS rhs_col, a.value AS lhs_val, b.value AS candidate,
                 count(*) AS cnt
          FROM masked a JOIN masked b ON a.row_id = b.row_id AND a.col <> b.col
-         GROUP BY 1, 2, 3, 4"""
+         GROUP BY 1, 2, 3, 4""",
+    "q39_cache_corrector" ->
+      """SELECT c_custkey AS row_id, 'segment' AS col, 'llm_correction' AS corrector,
+                c_mktsegment AS candidate, CAST(0.9 AS DOUBLE) AS score
+         FROM customer WHERE c_custkey % 17 = 3""",
+    "q40_narayan" ->
+      """WITH err AS (SELECT c_custkey AS row_id, c_mktsegment AS truth FROM customer WHERE c_custkey % 17 = 3),
+         cache AS (SELECT row_id, truth AS candidate, 0.8 AS score FROM err
+                   UNION ALL SELECT row_id, 'MACHINERY', 0.3 FROM err),
+         r AS (SELECT row_id, candidate,
+                      row_number() OVER (PARTITION BY row_id ORDER BY score DESC, candidate ASC) AS rn
+               FROM cache)
+         SELECT row_id, candidate AS value FROM r WHERE rn = 1""",
+    "q41_fd_mining" ->
+      """WITH base AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(c_custkey % 10 AS VARCHAR) AS decile, c_mktsegment AS segment,
+             CAST(c_nationkey AS VARCHAR) AS natcopy FROM customer),
+         cells AS (
+           SELECT row_id, 'nation' AS col, nation AS value FROM base
+           UNION ALL SELECT row_id, 'decile', decile FROM base
+           UNION ALL SELECT row_id, 'segment', segment FROM base
+           UNION ALL SELECT row_id, 'natcopy', natcopy FROM base),
+         pairs AS (SELECT a.col AS lhs, b.col AS rhs, a.value AS lv, b.value AS rv
+                   FROM cells a JOIN cells b ON a.row_id = b.row_id AND a.col <> b.col),
+         g AS (SELECT lhs, rhs, lv, count(*) AS n, count(DISTINCT rv) AS d FROM pairs GROUP BY 1, 2, 3),
+         f AS (SELECT lhs, rhs, CAST(sum(n) AS BIGINT) AS n_rows,
+                      CAST(sum(CASE WHEN d > 1 THEN n ELSE 0 END) AS BIGINT) AS violating_rows
+               FROM g GROUP BY 1, 2)
+         SELECT lhs, rhs, n_rows, violating_rows FROM f WHERE violating_rows = 0""",
+    "q42_cell_diff" ->
+      """SELECT c_custkey AS row_id, 'segment' AS col, '__CORRUPT__' AS dirty_value,
+                c_mktsegment AS clean_value
+         FROM customer WHERE c_custkey % 17 = 3""",
+    "q43_sampling" ->
+      """WITH e AS (SELECT c_custkey AS row_id FROM customer WHERE c_custkey % 17 = 3
+                    UNION ALL SELECT c_custkey FROM customer WHERE c_custkey % 23 = 5),
+         g AS (SELECT row_id, CAST(count(*) AS BIGINT) AS err_cnt FROM e GROUP BY 1)
+         SELECT row_id, err_cnt FROM g ORDER BY err_cnt DESC, row_id ASC LIMIT 20"""
   )
 }

@@ -63,7 +63,11 @@ object Ann {
     * one dot product, and the id inequality halves the pair space.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val withNorm = emb.select(col("id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    // pre-cast to double once per vector — the O(n^2) pair loop then
+    // runs pure double multiply-adds (same bits as casting inside the
+    // pair, so the similarity value is unchanged)
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    val withNorm = emb.select(col("id"), asDouble.as("embedding"), norm(asDouble).as("nrm"))
     val a = withNorm.toDF("id_a", "emb_a", "nrm_a")
     val b = withNorm.toDF("id_b", "emb_b", "nrm_b")
     a.crossJoin(b)

@@ -221,6 +221,59 @@ object Correctors {
       .drop("rn", "feature_sum")
   }
 
+  /** W1 greedy labeling sample (reference `src/correction.py:295-301`):
+    * rows ranked by detected-error count descending, deterministic
+    * ascending row_id tie-break (the reference shuffles to break index
+    * order; a keyed tie-break is the reproducible analog), take the
+    * labeling budget k. Returns (row_id, err_cnt).
+    */
+  def greedySample(errors: DataFrame, k: Int): DataFrame =
+    errors
+      .groupBy("row_id")
+      .agg(count(lit(1)).as("err_cnt"))
+      .orderBy(col("err_cnt").desc, col("row_id").asc)
+      .limit(k)
+
+  /** W2 Baran-style labeling sample (reference
+    * `src/correction.py:303-346`): iterative draw where each remaining
+    * row scores the product over its error cells of
+    * exp(freq(value in its column among remaining error cells) /
+    * n_remaining_cells); the argmax row (ties: smaller row_id) is
+    * drawn and its cells leave the pool. The loop is inherently
+    * sequential and k is the labeling budget (~20), so the draw runs
+    * on the driver over a capped candidate set: the `candidateCap`
+    * rows with the most errors (W1 order) — error cells outside the
+    * cap can never beat cap members under this monotone score.
+    */
+  def baranSample(errors: DataFrame, k: Int, candidateCap: Int = 10000): Seq[Long] = {
+    val top = greedySample(errors, candidateCap).select("row_id")
+    val cells = errors
+      .join(top, "row_id")
+      .select("row_id", "col", "error_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+    val byRow = cells.groupBy(_._1)
+    val freq = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    cells.foreach { case (_, c, v) => freq((c, v)) += 1 }
+    var remainingCells = cells.length.toLong
+    val remainingRows = scala.collection.mutable.SortedSet(byRow.keys.toSeq: _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (picked.length < k && remainingRows.nonEmpty) {
+      var bestRow = -1L
+      var bestScore = Double.NegativeInfinity
+      for (r <- remainingRows) {
+        // log-space product: sum of freq/remaining over the row's cells
+        val s = byRow(r).iterator.map { case (_, c, v) => freq((c, v)).toDouble / remainingCells }.sum
+        if (s > bestScore || (s == bestScore && r < bestRow)) { bestScore = s; bestRow = r }
+      }
+      picked += bestRow
+      remainingRows -= bestRow
+      byRow(bestRow).foreach { case (_, c, v) => freq((c, v)) -= 1; remainingCells -= 1 }
+      if (remainingCells == 0) remainingCells = 1
+    }
+    picked.toSeq
+  }
+
   /** User-label overlay: labeled corrections always win
     * (`clean_with_user_input`, `src/correction.py:940-951`).
     */

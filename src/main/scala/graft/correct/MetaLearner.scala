@@ -1,0 +1,130 @@
+package graft.correct
+
+import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M8 meta-learner (reference `src/correction.py:847-937`): the
+  * reference trains one AdaBoost(100) binary classifier per error
+  * column over "pair features" — one score slot per corrector for each
+  * (cell, candidate) pair — with label `candidate == user correction`,
+  * then picks each unlabeled cell's best candidate by classifier
+  * probability (W4 decision, tie-break max feature sum then candidate,
+  * `src/ml_helpers.py:52-78`).
+  *
+  * Here: `spark.ml` GBTClassifier per column (pluggable stage; the
+  * golden/deterministic path bypasses it per SURVEY.md §7 in favor of
+  * the A13 feature-sum rule, which is also the fallback whenever a
+  * column fails the training guards). The per-column loop is a driver
+  * loop over the (few) error columns; training sets are bounded by the
+  * labeling budget × candidates, so `fit` runs on tiny data while
+  * `transform` is a distributed map over the unlabeled cells.
+  *
+  * Guards (reference edge cases `src/ml_helpers.py:81-108`,
+  * `src/autogluon_imputer.py:90-92` A14):
+  *  - fewer than `minLabels` labeled pairs, or a single label class
+  *    -> fall back to A13 for that column.
+  */
+object MetaLearner {
+
+  /** Pair features (reference `src/helpers.py:107-121`): pivot the
+    * long suggestion relation into one feature column per corrector;
+    * absent corrector scores are 0.
+    */
+  def pairFeatures(suggestions: DataFrame, correctors: Seq[String]): DataFrame =
+    suggestions
+      .groupBy("row_id", "col", "candidate")
+      .pivot("corrector", correctors)
+      .agg(first("score"))
+      .na
+      .fill(0.0, correctors)
+
+  /** Train per column on the labeled cells, predict the unlabeled
+    * cells; returns chosen corrections `(row_id, col, value)`.
+    *
+    * @param features  (row_id, col, candidate, featureCols...)
+    * @param labeled   user labels (row_id, col, clean_value)
+    */
+  def trainPredict(
+      features: DataFrame,
+      featureCols: Seq[String],
+      labeled: DataFrame,
+      minLabels: Int = 10,
+      seed: Long = 42L
+  ): DataFrame = {
+    val featSum = featureCols.map(col).reduce(_ + _)
+    val columns = features.select("col").distinct().collect().map(_.getString(0)).sorted
+
+    val perCol = columns.map { c =>
+      val f = features.filter(col("col") === c)
+      val lab = labeled.filter(col("col") === c).select(col("row_id"), col("clean_value"))
+      val train = f
+        .join(lab, "row_id")
+        .withColumn("label", (col("candidate") === col("clean_value")).cast("double"))
+        .cache()
+      val classCounts = train.groupBy("label").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val unlabeled = f.join(lab.select("row_id"), Seq("row_id"), "left_anti")
+
+      val decidedCol =
+        if (classCounts.getOrElse(1.0, 0L) + classCounts.getOrElse(0.0, 0L) < minLabels || classCounts.size < 2) {
+          // A13 fallback: max feature sum, lexicographic tie-break
+          Correctors
+            .decideBy(unlabeled.select(col("row_id"), col("candidate"), featSum.as("score")), Seq("row_id"))
+            .select(col("row_id"), lit(c).as("col"), col("candidate").as("value"))
+        } else {
+          val assembler = new VectorAssembler().setInputCols(featureCols.toArray).setOutputCol("fvec")
+          val gbt = new GBTClassifier()
+            .setFeaturesCol("fvec")
+            .setLabelCol("label")
+            .setMaxIter(20)
+            .setMaxDepth(3)
+            .setSeed(seed)
+          val model = gbt.fit(assembler.transform(train))
+          val scored = model
+            .transform(assembler.transform(unlabeled))
+            .withColumn("proba", vector_to_array(col("probability")).getItem(1))
+          val w = Window
+            .partitionBy("row_id")
+            .orderBy(col("proba").desc, featSum.desc, col("candidate").asc)
+          scored
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("row_id"), lit(c).as("col"), col("candidate").as("value"))
+        }
+      train.unpersist()
+      decidedCol
+    }
+    perCol.reduce(_ unionByName _)
+  }
+
+  /** M10 ET-gate (reference `src/helpers.py:123-138`): columns where a
+    * cache-backed LLM corrector ever suggested the exact user label —
+    * for those, the reference drops synthetic training features.
+    */
+  def etGateColumns(cacheSuggestions: DataFrame, labeled: DataFrame): Seq[String] =
+    cacheSuggestions
+      .join(labeled, Seq("row_id", "col"))
+      .filter(col("candidate") === col("clean_value"))
+      .select("col")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+      .sorted
+
+  /** M9 synth-usefulness gate (reference `src/ml_helpers.py:170-235`):
+    * accept synthetic training data iff corrections decided from it
+    * reach `threshold` F1 against the user labels.
+    */
+  def synthGate(synthDecided: DataFrame, labeled: DataFrame, threshold: Double = 0.9): Boolean = {
+    val f1 = Correctors
+      .evaluateDF(synthDecided, labeled)
+      .select(col("ec_f"))
+      .head()
+      .getDouble(0)
+    f1 >= threshold
+  }
+}

@@ -111,6 +111,40 @@ object Pdep {
     PdepStats(fd, n, Some(pdepBVal), Some(pdepABVal), epdepVal, gpdepVal)
   }
 
+  /** In-engine FD search (replacement for the reference's external
+    * HyFD JAR, `src/pdep.py:513-573`, per SURVEY.md §2.1 S6): validate
+    * every order-1 candidate `lhs -> rhs` over the error-masked rows
+    * with one aggregation per lhs column. An FD holds iff every lhs
+    * value maps to exactly one rhs value (`max(countDistinct(rhs))
+    * == 1`); `maxViolationFrac` relaxes to approximate FDs (fraction
+    * of rows in violating lhs groups).
+    *
+    * Scale: one `groupBy(lhs)` per (lhs, rhs) pair over only the two
+    * projected columns — column-pruned scans, partial aggregation, and
+    * the per-pair result is a single scalar row.
+    */
+  def mineFds(
+      df: DataFrame,
+      errors: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      maxViolationFrac: Double = 0.0
+  ): DataFrame = {
+    // cell-level masking of a (lhs,rhs) pair ≡ the reference's
+    // row-level masking restricted to that pair's two columns
+    val counts = Correctors.allCounts(df, errors, rowId, cols)
+    counts
+      .groupBy("lhs_col", "rhs_col", "lhs_val")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("d"))
+      .groupBy("lhs_col", "rhs_col")
+      .agg(
+        sum("n").as("n_rows"),
+        sum(when(col("d") > 1, col("n")).otherwise(0L)).as("violating_rows")
+      )
+      .filter(col("violating_rows") <= col("n_rows") * lit(maxViolationFrac))
+      .select(col("lhs_col").as("lhs"), col("rhs_col").as("rhs"), col("n_rows"), col("violating_rows"))
+  }
+
   /** The gpdep table as a DataFrame: one row per FD with all four
     * statistics plus the per-rhs normalized gpdep, doubles rounded to 6
     * for oracle-stable output. The per-FD aggregates run as Spark jobs

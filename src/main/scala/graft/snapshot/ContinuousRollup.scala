@@ -108,13 +108,13 @@ object ContinuousRollup {
       val path = tierPath(tiersRoot, tier)
       val exists = Files.exists(Paths.get(path))
       val out = recomputed.cache()
-      val nOut = out.count()
       out.write
         .mode(if (exists) "overwrite" else "errorifexists")
         .partitionBy("part_key")
         .parquet(path)
-      val touchedParts = out.select("part_key").distinct().count()
-      lineageRows += ((tier, s"($from,$to]", nOut, touchedParts, to))
+      // one aggregate over the cached result for both lineage numbers
+      val stats = out.agg(count(lit(1)), countDistinct(col("part_key"))).head()
+      lineageRows += ((tier, s"($from,$to]", stats.getLong(0), stats.getLong(1), to))
       out.unpersist()
     }
 

@@ -97,6 +97,98 @@ class EnsembleSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("mineFds finds exactly the held FDs, error cells masked") {
+    val df = Seq(
+      (1L, "a", "x", "k1"),
+      (2L, "a", "x", "k2"),
+      (3L, "b", "y", "k3"),
+      (4L, "b", "BAD", "k4") // b->? violation, but the cell is an error
+    ).toDF("row_id", "l", "r", "u")
+    val errors = Seq(ErrorCell(4L, "r", "BAD")).toDF()
+    val fds = Pdep
+      .mineFds(df, errors, "row_id", Seq("l", "r", "u"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    // with the error masked: l->r holds; r->l holds; u->everything holds
+    // (u unique); nothing -> u except... r->u fails (x maps k1,k2)
+    assert(fds.contains(("l", "r")))
+    assert(fds.contains(("r", "l")))
+    assert(fds.contains(("u", "l")))
+    assert(fds.contains(("u", "r")))
+    assert(!fds.contains(("r", "u")))
+    assert(!fds.contains(("l", "u")))
+  }
+
+  test("greedySample ranks rows by error count with id tie-break") {
+    val errors = Seq(
+      ErrorCell(1L, "a", "x"),
+      ErrorCell(2L, "a", "x"),
+      ErrorCell(2L, "b", "y"),
+      ErrorCell(3L, "a", "x")
+    ).toDF()
+    val got = Correctors
+      .greedySample(errors, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((2L, 2L), (1L, 1L)))
+  }
+
+  test("baranSample draws the highest-frequency-value rows first") {
+    // value 'x' in column a appears 3 times; rows carrying it outrank
+    // the row with the rare value; ties resolve to the smaller row_id
+    val errors = Seq(
+      ErrorCell(1L, "a", "x"),
+      ErrorCell(2L, "a", "x"),
+      ErrorCell(3L, "a", "x"),
+      ErrorCell(4L, "a", "rare")
+    ).toDF()
+    val picked = Correctors.baranSample(errors, 2)
+    assert(picked == Seq(1L, 2L))
+  }
+
+  test("meta-learner GBT path learns to trust the reliable corrector") {
+    // two correctors: c_good scores the true candidate 0.9, c_bad
+    // scores a wrong candidate 0.9; labels reveal c_good is right.
+    // The learner must pick the c_good candidate on unlabeled cells
+    // even though A13's feature-sum would tie.
+    val cells = (1L to 30L)
+    val sugg = cells.flatMap { r =>
+      Seq(
+        Suggestion(r, "seg", "c_good", s"T$r", 0.9),
+        Suggestion(r, "seg", "c_bad", s"F$r", 0.9)
+      )
+    }.toDF()
+    val features = MetaLearner.pairFeatures(sugg, Seq("c_bad", "c_good"))
+    val labeled = (1L to 20L).map(r => (r, "seg", s"T$r")).toDF("row_id", "col", "clean_value")
+    val out = MetaLearner
+      .trainPredict(features, Seq("c_bad", "c_good"), labeled, minLabels = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .toMap
+    assert(out.keySet == (21L to 30L).toSet)
+    assert((21L to 30L).forall(r => out(r) == s"T$r"))
+  }
+
+  test("meta-learner falls back to A13 under the label-count guard") {
+    val sugg = (1L to 5L).flatMap { r =>
+      Seq(
+        Suggestion(r, "seg", "c1", "good", 0.8),
+        Suggestion(r, "seg", "c2", "bad", 0.3)
+      )
+    }.toDF()
+    val features = MetaLearner.pairFeatures(sugg, Seq("c1", "c2"))
+    val labeled = Seq((1L, "seg", "good")).toDF("row_id", "col", "clean_value")
+    val out = MetaLearner
+      .trainPredict(features, Seq("c1", "c2"), labeled, minLabels = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .toMap
+    // rows 2-5 decided by feature sum -> "good"
+    assert(out.keySet == (2L to 5L).toSet)
+    assert(out.values.forall(_ == "good"))
+  }
+
   test("statsDF emits one row per FD with rounded stats") {
     val noErr = spark.emptyDataset[ErrorCell].toDF()
     val out = Pdep
