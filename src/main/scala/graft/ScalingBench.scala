@@ -13,8 +13,16 @@ import graft.spark.Sessions
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "2000000").toLong
+    // default N=4 (pair 4 vs 16): this box's memory bandwidth stops
+    // scaling past ~16 streaming threads (measured: 8->32 procs gives
+    // only 2.3x aggregate bandwidth) — a machine property, not a job
+    // property; see BASELINE.md "scaling" notes
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
+    // large enough that driver-serial time (planning, job barriers,
+    // ~2-3 s/run) is a small fraction of even the 4N-side wall, small
+    // enough that the shared memory bus does not dominate (BASELINE.md
+    // scaling notes)
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "32000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
 
     def run(cores: Int): Double = {

@@ -549,6 +549,17 @@ object SparkEntry {
         .filter(col("c_custkey") % 17 === 3 && col("c_custkey") % 5 === 0)
         .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("clean_value"))
       graft.correct.MetaLearner.trainPredict(features, correctors, labeled)
+    }),
+
+    // ---- M4 pdep-ranked vicinity corrector (W3 n-best deps, pr feature) ----
+    "q46_vicinity_pdep" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true)
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      Correctors
+        .vicinityCorrectorPdep(base, errors, "row_id", Seq("nation", "decile", "segment"), nBest = 2)
+        .select(col("row_id"), col("corrector"), col("candidate"), round(col("score"), 6).as("score"))
     })
   )
 
@@ -923,6 +934,22 @@ object SparkEntry {
       """WITH e AS (SELECT c_custkey AS row_id FROM customer WHERE c_custkey % 17 = 3
                     UNION ALL SELECT c_custkey FROM customer WHERE c_custkey % 23 = 5),
          g AS (SELECT row_id, CAST(count(*) AS BIGINT) AS err_cnt FROM e GROUP BY 1)
-         SELECT row_id, err_cnt FROM g ORDER BY err_cnt DESC, row_id ASC LIMIT 20"""
+         SELECT row_id, err_cnt FROM g ORDER BY err_cnt DESC, row_id ASC LIMIT 20""",
+    "q46_vicinity_pdep" ->
+      """WITH corrupted AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(c_custkey % 10 AS VARCHAR) AS decile,
+             CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment FROM customer),
+         err AS (SELECT row_id, nation, decile FROM corrupted WHERE segment = '__CORRUPT__'),
+         c1 AS (SELECT nation, segment AS candidate, count(*) AS cnt FROM corrupted
+                WHERE segment <> '__CORRUPT__' GROUP BY 1, 2),
+         p1 AS (SELECT nation, candidate, cnt * 1.0 / sum(cnt) OVER (PARTITION BY nation) AS pr FROM c1),
+         c2 AS (SELECT decile, segment AS candidate, count(*) AS cnt FROM corrupted
+                WHERE segment <> '__CORRUPT__' GROUP BY 1, 2),
+         p2 AS (SELECT decile, candidate, cnt * 1.0 / sum(cnt) OVER (PARTITION BY decile) AS pr FROM c2)
+         SELECT e.row_id, 'vicinity_pdep_nation' AS corrector, p1.candidate, round(p1.pr, 6) AS score
+         FROM err e JOIN p1 ON e.nation = p1.nation
+         UNION ALL
+         SELECT e.row_id, 'vicinity_pdep_decile', p2.candidate, round(p2.pr, 6)
+         FROM err e JOIN p2 ON e.decile = p2.decile"""
   )
 }

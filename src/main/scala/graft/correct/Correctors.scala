@@ -107,6 +107,57 @@ object Correctors {
       )
   }
 
+  /** Pdep-ranked vicinity corrector, order 1 (reference M4,
+    * `src/pdep.py:450-499`): like the naive vicinity corrector but
+    * only the `nBest` dependencies per error column survive, ranked by
+    * gpdep descending (W3 top-k; deterministic lhs tie-break), and the
+    * emitted feature is the conditional probability of the candidate
+    * (the reference's default `pdep_features=['pr']`). One corrector
+    * name per surviving (lhs -> rhs) dependency.
+    */
+  def vicinityCorrectorPdep(
+      df: DataFrame,
+      errors: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      nBest: Int = 3
+  ): DataFrame = {
+    val errorCols = errors.select("col").distinct().collect().map(_.getString(0)).toSeq.sorted
+    val fds = for { rhs <- errorCols; lhs <- cols if lhs != rhs } yield Fd(Seq(lhs), rhs)
+    if (fds.isEmpty) return emptySuggestions(df.sparkSession)
+    val gp = Pdep.gpdepTable(df, errors, rowId, fds)
+    val surviving: Set[String] = gp.toSeq
+      .groupBy(_._2._1.fd.rhs)
+      .flatMap { case (_, deps) =>
+        deps
+          .sortBy { case (key, (s, _)) => (-s.gpdep.getOrElse(Double.NegativeInfinity), key) }
+          .take(nBest)
+          .map(_._1)
+      }
+      .toSet
+
+    val cells = Cells.melt(df, rowId, cols)
+    val counts = allCounts(df, errors, rowId, cols)
+    val wm = Window.partitionBy("lhs_col", "rhs_col", "lhs_val")
+    val countsPr = counts.withColumn("pr", col("cnt") / sum("cnt").over(wm))
+    val errLhs = errors
+      .select(col("row_id"), col("col").as("rhs_col"))
+      .join(cells.withColumnRenamed("col", "lhs_col").withColumnRenamed("value", "lhs_val"), "row_id")
+      .filter(col("lhs_col") =!= col("rhs_col"))
+      .filter(
+        concat(col("lhs_col"), lit("->"), col("rhs_col")).isin(surviving.toSeq: _*)
+      )
+    errLhs
+      .join(broadcast(countsPr), Seq("lhs_col", "rhs_col", "lhs_val"))
+      .select(
+        col("row_id"),
+        col("rhs_col").as("col"),
+        concat(lit("vicinity_pdep_"), col("lhs_col")).as("corrector"),
+        col("candidate"),
+        col("pr").as("score")
+      )
+  }
+
   /** A3 all-combination count model, order 1 (reference
     * `mine_all_counts`, `src/pdep.py:101-158`): cell-masked
     * co-occurrence counts for EVERY ordered (lhs_col, rhs_col) column

@@ -104,6 +104,11 @@ object PageGen {
   def withRowId(df: DataFrame): DataFrame =
     df.withColumn("row_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
 
+  /** Domain of an url — `substring_index` chain, not a regex: this
+    * runs per row in every scan of the pipeline (grouping key, count
+    * models, repair output), and a linear byte scan is several times
+    * cheaper than an NFA match at 10^12 rows.
+    */
   def domainOf(urlCol: String): org.apache.spark.sql.Column =
-    regexp_extract(col(urlCol), "https://([^/]+)/", 1)
+    substring_index(substring_index(col(urlCol), "://", -1), "/", 1)
 }

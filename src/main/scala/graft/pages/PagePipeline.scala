@@ -21,10 +21,14 @@ import org.apache.spark.sql.functions._
   *    `Correctors.decideBy`).
   *
   * Scan discipline (the property that matters at 10^12 rows): the big
-  * table is scanned exactly three times end to end —
-  *   1. domain->lang count model (one hash aggregate, tiny result);
-  *   2. masked count model for the FD corrector (same shape);
-  *   3. the single output pass that flags + repairs every cell with
+  * table is scanned exactly TWICE end to end —
+  *   1. one domain->lang count model (a single hash aggregate, tiny
+  *      result) from which BOTH the majority-lang model and the
+  *      masked FD-corrector counts derive: the cells masked by
+  *      detection are exactly the non-majority rows, so the masked
+  *      count relation is the counts filtered to each domain's
+  *      majority lang — no second scan needed;
+  *   2. the single output pass that flags + repairs every cell with
   *      pure expressions and two broadcast joins (majority model,
   *      per-domain decision).
   * Everything else operates on error-fraction-sized or
@@ -86,17 +90,28 @@ object PagePipeline {
     */
   def repair(pages: DataFrame): DataFrame = {
     val withId = withIdDomain(pages)
-    val majority = broadcast(majorityLang(withId))
+    // the ONE model scan: (domain, lang) counts
+    val langCounts = withId.groupBy("domain", "lang").agg(count(lit(1)).as("cnt")).cache()
+    val w = Window.partitionBy("domain").orderBy(col("cnt").desc, col("lang").asc)
+    val majority = broadcast(
+      langCounts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("domain"), col("lang").as("__majority_lang"))
+    )
     val flagged = flagCols(withId.join(majority, "domain"))
 
     // FD corrector model for lang (domain -> lang), masked at row
-    // level over the FD's columns exactly like Pdep.fdCounts: rows
-    // whose lang is flagged are excluded from the count model.
+    // level over the FD's columns exactly like Pdep.fdCounts. The
+    // masked rows are precisely those whose lang differs from the
+    // domain majority, so the masked count model IS the count relation
+    // restricted to each domain's majority lang — derived from the
+    // same scan, not a second one.
     val fd = Fd(Seq("domain"), "lang")
-    val counts = flagged
-      .filter(!col("__lang_bad"))
-      .groupBy("domain", "lang")
-      .agg(count(lit(1)).as("cnt"))
+    val counts = langCounts
+      .join(majority, "domain")
+      .filter(col("lang") === col("__majority_lang"))
+      .select(col("domain"), col("lang"), col("cnt"))
       .withColumn("lhs_cnt", sum(col("cnt")).over(Window.partitionBy("domain")))
       .cache()
     val stats = Pdep.statsFromCounts(counts, fd)

@@ -27,6 +27,12 @@ object Sessions {
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // sandbox-scale stand-in for a split-rich 100 TB layout: test
+      // inputs are only 10s-100s of MB, so the 128 MB default would
+      // pack the whole table into one or two scan partitions and
+      // serialize every map stage; at production scale this stays at
+      // the default (plentiful 128 MB splits)
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

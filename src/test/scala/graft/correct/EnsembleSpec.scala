@@ -189,6 +189,25 @@ class EnsembleSpec extends SparkSpec {
     assert(out.values.forall(_ == "good"))
   }
 
+  test("vicinityCorrectorPdep keeps only the n-best gpdep deps") {
+    // l1 determines r perfectly (high gpdep); l2 is constant (no
+    // dependency) — with nBest=1 only l1 survives
+    val df = Seq(
+      (1L, "a", "k", "x"),
+      (2L, "a", "k", "x"),
+      (3L, "b", "k", "y"),
+      (4L, "b", "k", "y"),
+      (5L, "a", "k", "BAD")
+    ).toDF("row_id", "l1", "l2", "r")
+    val errors = Seq(ErrorCell(5L, "r", "BAD")).toDF()
+    val sugg = Correctors
+      .vicinityCorrectorPdep(df, errors, "row_id", Seq("l1", "l2", "r"), nBest = 1)
+      .collect()
+      .map(r => (r.getAs[String]("corrector"), r.getAs[String]("candidate"), r.getAs[Double]("score")))
+    assert(sugg.forall(_._1 == "vicinity_pdep_l1"))
+    assert(sugg.toSet == Set(("vicinity_pdep_l1", "x", 1.0)))
+  }
+
   test("statsDF emits one row per FD with rounded stats") {
     val noErr = spark.emptyDataset[ErrorCell].toDF()
     val out = Pdep
