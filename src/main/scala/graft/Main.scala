@@ -1,0 +1,94 @@
+package graft
+
+import graft.pages.{PageGen, PagePipeline}
+import graft.rollup.Rollup
+import graft.snapshot.{ContinuousRollup, SnapshotStore}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point (the reference's `entrypoint.py` driver,
+  * SURVEY.md §3.2, re-expressed): one job per invocation, configured by
+  * simple `key=value` args, appending a row to a metrics table per run.
+  *
+  *   spark-submit --class graft.Main <jar> job=<name> [key=value...]
+  *
+  * Jobs:
+  *   ingest     pages=N domains=D root=<snapshot table root>
+  *              — synthesize+corrupt N pages, append as a new snapshot
+  *   update     root=<source root> tiers=<tier root>
+  *              — continuous rollup: fold unapplied snapshots into all
+  *                retention tiers (resumable: reads the `_applied`
+  *                marker, idempotent partition recompute)
+  *   repair     root=<source root> out=<parquet dir>
+  *              — repair the full table at the current snapshot
+  *   bench      pages=N
+  *              — the throughput benchmark (local only)
+  *
+  * The session comes from the spark-submit conf (no master hardcoded);
+  * local runs fall back to local[*].
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val kv = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"expected key=value, got '$a'")
+      a.substring(0, i) -> a.substring(i + 1)
+    }.toMap
+    val job = kv.getOrElse("job", sys.error("missing job=<ingest|update|repair|bench>"))
+
+    val hadSession = SparkSession.getActiveSession.isDefined
+    val spark = SparkSession
+      .builder()
+      .appName(s"graft-$job")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    val t0 = System.nanoTime()
+    val metrics: Map[String, String] = job match {
+      case "ingest" =>
+        val n = kv("pages").toLong
+        val root = kv("root")
+        val dirty = PageGen.corrupt(PageGen.clean(spark, n, kv.getOrElse("domains", "50").toInt))
+        val id = SnapshotStore.append(root, dirty)
+        Map("snapshot_id" -> id.toString, "pages" -> n.toString)
+      case "update" =>
+        val applied = ContinuousRollup.update(
+          spark,
+          kv("root"),
+          kv("tiers"),
+          Seq("domain", "lang"),
+          "warc_ts",
+          length(col("html")).cast("long"),
+          prepare = df => PagePipeline.repair(df).withColumn("domain", PageGen.domainOf("url"))
+        )
+        Map("applied_snapshot" -> applied.toString)
+      case "repair" =>
+        val out = kv("out")
+        PagePipeline
+          .repair(SnapshotStore.read(spark, kv("root")))
+          .write
+          .mode("overwrite")
+          .parquet(out)
+        Map("out" -> out)
+      case "bench" =>
+        val (points, sec) = Bench.rollupBench(spark, kv.getOrElse("pages", "1000000").toLong)
+        Map("points" -> points.toString, "sec" -> f"$sec%.2f")
+      case other => sys.error(s"unknown job '$other'")
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    kv.get("metrics").foreach { metricsPath =>
+      import spark.implicits._
+      Seq((job, f"$sec%.3f", metrics.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")))
+        .toDF("job", "seconds", "detail")
+        .write
+        .mode("append")
+        .parquet(metricsPath)
+    }
+    println(s"""{"job":"$job","seconds":$sec,${metrics.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")}}""")
+    if (!hadSession) spark.stop() // leave an externally owned session (tests) alive
+  }
+}

@@ -560,6 +560,17 @@ object SparkEntry {
       Correctors
         .vicinityCorrectorPdep(base, errors, "row_id", Seq("nation", "decile", "segment"), nBest = 2)
         .select(col("row_id"), col("corrector"), col("candidate"), round(col("score"), 6).as("score"))
+    }),
+
+    // ---- M3 order-2 vicinity corrector (A3 order-2 count model) ----
+    "q47_vicinity_order2" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true)
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      Correctors
+        .vicinityCorrectorOrder2(base, errors, "row_id", Seq("nation", "decile", "segment"))
+        .select(col("row_id"), col("corrector"), col("candidate"), round(col("score"), 6).as("score"))
     })
   )
 
@@ -950,6 +961,17 @@ object SparkEntry {
          FROM err e JOIN p1 ON e.nation = p1.nation
          UNION ALL
          SELECT e.row_id, 'vicinity_pdep_decile', p2.candidate, round(p2.pr, 6)
-         FROM err e JOIN p2 ON e.decile = p2.decile"""
+         FROM err e JOIN p2 ON e.decile = p2.decile""",
+    "q47_vicinity_order2" ->
+      """WITH corrupted AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(c_custkey % 10 AS VARCHAR) AS decile,
+             CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment FROM customer),
+         err AS (SELECT row_id, nation, decile FROM corrupted WHERE segment = '__CORRUPT__'),
+         c AS (SELECT decile, nation, segment AS candidate, count(*) AS cnt FROM corrupted
+               WHERE segment <> '__CORRUPT__' GROUP BY 1, 2, 3),
+         p AS (SELECT decile, nation, candidate,
+                      cnt * 1.0 / sum(cnt) OVER (PARTITION BY decile, nation) AS pr FROM c)
+         SELECT e.row_id, 'vicinity_2_decile_nation' AS corrector, p.candidate, round(p.pr, 6) AS score
+         FROM err e JOIN p ON e.nation = p.nation AND e.decile = p.decile"""
   )
 }

@@ -177,6 +177,63 @@ object Correctors {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** A3 all-combination count model, order 2 (reference
+    * `mine_all_counts` with `order=2`, `src/pdep.py:101-158`):
+    * cell-masked counts keyed by an UNORDERED lhs column pair plus a
+    * rhs column. One melt + a 3-way self-join on row_id + one hash
+    * aggregate; lhs_col_a < lhs_col_b de-duplicates combinations.
+    */
+  def allCountsOrder2(df: DataFrame, errors: DataFrame, rowId: String, cols: Seq[String]): DataFrame = {
+    val masked = Cells
+      .melt(df, rowId, cols)
+      .join(errors.select("row_id", "col"), Seq("row_id", "col"), "left_anti")
+    val a = masked.select(col("row_id"), col("col").as("lhs_col_a"), col("value").as("lhs_val_a"))
+    val b = masked.select(col("row_id"), col("col").as("lhs_col_b"), col("value").as("lhs_val_b"))
+    val r = masked.select(col("row_id"), col("col").as("rhs_col"), col("value").as("candidate"))
+    a.join(b, "row_id")
+      .filter(col("lhs_col_a") < col("lhs_col_b"))
+      .join(r, "row_id")
+      .filter(col("rhs_col") =!= col("lhs_col_a") && col("rhs_col") =!= col("lhs_col_b"))
+      .groupBy("lhs_col_a", "lhs_col_b", "rhs_col", "lhs_val_a", "lhs_val_b", "candidate")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Naive vicinity corrector, order 2 (reference
+    * `vicinity_based_corrector_order_n` with n=2): conditional pr of
+    * each candidate given the error row's values in an lhs column
+    * PAIR; one corrector name per pair.
+    */
+  def vicinityCorrectorOrder2(
+      df: DataFrame,
+      errors: DataFrame,
+      rowId: String,
+      cols: Seq[String]
+  ): DataFrame = {
+    val cells = Cells.melt(df, rowId, cols)
+    val counts = allCountsOrder2(df, errors, rowId, cols)
+    val wm = Window.partitionBy("lhs_col_a", "lhs_col_b", "rhs_col", "lhs_val_a", "lhs_val_b")
+    val countsPr = counts.withColumn("pr", col("cnt") / sum("cnt").over(wm))
+
+    val ca = cells.toDF("row_id", "lhs_col_a", "lhs_val_a")
+    val cb = cells.toDF("row_id", "lhs_col_b", "lhs_val_b")
+    val errLhs = errors
+      .select(col("row_id"), col("col").as("rhs_col"))
+      .join(ca, "row_id")
+      .join(cb, "row_id")
+      .filter(col("lhs_col_a") < col("lhs_col_b"))
+      .filter(col("rhs_col") =!= col("lhs_col_a") && col("rhs_col") =!= col("lhs_col_b"))
+
+    errLhs
+      .join(broadcast(countsPr), Seq("lhs_col_a", "lhs_col_b", "rhs_col", "lhs_val_a", "lhs_val_b"))
+      .select(
+        col("row_id"),
+        col("rhs_col").as("col"),
+        concat(lit("vicinity_2_"), col("lhs_col_a"), lit("_"), col("lhs_col_b")).as("corrector"),
+        col("candidate"),
+        col("pr").as("score")
+      )
+  }
+
   /** Value corrector (reference `src/correction.py:148-219`): value
     * models mined from the labeled (error, correction) pairs on the
     * driver (bounded by the labeling budget, ~20 rows), broadcast, and

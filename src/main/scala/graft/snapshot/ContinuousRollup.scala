@@ -76,6 +76,16 @@ object ContinuousRollup {
   /** Fold all snapshots newer than the applied marker into every tier.
     * Returns the new applied snapshot id (unchanged if nothing new).
     */
+  /** `prepare` runs on the raw source rows BEFORE partition keys are
+    * derived (e.g. the pages repair stage: corrupted `warc_ts` must be
+    * repaired first, because the repaired timestamp decides which tier
+    * partitions a row touches). It is applied to the full snapshot
+    * range, so model-based repairs see the whole table as of snapshot
+    * `to`; partitions recomputed at different update times therefore
+    * use the model of their recompute time (exact when the underlying
+    * models — e.g. per-domain majority lang — are stable, which the
+    * correction contract assumes).
+    */
   def update(
       spark: SparkSession,
       sourceRoot: String,
@@ -83,7 +93,8 @@ object ContinuousRollup {
       series: Seq[String],
       tsCol: String,
       sizeCol: Column,
-      langCol: Option[String] = None
+      langCol: Option[String] = None,
+      prepare: DataFrame => DataFrame = identity
   ): Long = {
     val from = lastApplied(tiersRoot)
     val to = SnapshotStore.currentSnapshotId(sourceRoot)
@@ -91,8 +102,8 @@ object ContinuousRollup {
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val newRows = SnapshotStore.readRange(spark, sourceRoot, from, to)
-    val allRows = SnapshotStore.readRange(spark, sourceRoot, 0L, to)
+    val newRows = prepare(SnapshotStore.readRange(spark, sourceRoot, from, to))
+    val allRows = prepare(SnapshotStore.readRange(spark, sourceRoot, 0L, to))
 
     val lineageRows = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long)]()
     val t0 = System.nanoTime()

@@ -208,6 +208,31 @@ class EnsembleSpec extends SparkSpec {
     assert(sugg.toSet == Set(("vicinity_pdep_l1", "x", 1.0)))
   }
 
+  test("order-2 vicinity counts key by unordered lhs pairs, masked") {
+    val df = Seq(
+      (1L, "a", "p", "x"),
+      (2L, "a", "p", "x"),
+      (3L, "a", "q", "y"),
+      (4L, "a", "p", "BAD")
+    ).toDF("row_id", "l1", "l2", "r")
+    val errors = Seq(ErrorCell(4L, "r", "BAD")).toDF()
+    val counts = Correctors
+      .allCountsOrder2(df, errors, "row_id", Seq("l1", "l2", "r"))
+      .filter(col("rhs_col") === "r")
+      .collect()
+      .map(r => (r.getString(3), r.getString(4), r.getString(5), r.getLong(6)))
+      .toSet
+    assert(counts == Set(("a", "p", "x", 2L), ("a", "q", "y", 1L)))
+
+    val sugg = Correctors
+      .vicinityCorrectorOrder2(df, errors, "row_id", Seq("l1", "l2", "r"))
+      .collect()
+      .map(r => (r.getAs[String]("corrector"), r.getAs[String]("candidate"), r.getAs[Double]("score")))
+      .toSet
+    // error row 4 has (l1,l2)=(a,p) -> candidate x with pr 1.0
+    assert(sugg == Set(("vicinity_2_l1_l2", "x", 1.0)))
+  }
+
   test("statsDF emits one row per FD with rounded stats") {
     val noErr = spark.emptyDataset[ErrorCell].toDF()
     val out = Pdep
