@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Double-precision dot product of two float-array columns. */
+  /** Double-precision dot product — the codegen'd native expression
+    * (tight primitive loop; bit-identical to the HOF formulation
+    * `aggregate(zip_with(a,b,_*_),0,_+_)` it replaced). The
+    * `array<double>` cast is a no-op on pre-cast columns; callers on
+    * the O(n²) pair paths pre-cast once per vector.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    graft.functions.DotProduct(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,9 +42,10 @@ object Ann {
       queries: DataFrame, // (query_id, embedding)
       k: Int
   ): DataFrame = {
-    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    // cast to double once per vector, not once per pair
+    val q = queries.select(col("query_id"), col("embedding").cast("array<double>").as("q_emb"))
     val scored = corpus
-      .select(col("id"), col("embedding"))
+      .select(col("id"), col("embedding").cast("array<double>").as("embedding"))
       .crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))
       .withColumn("sim", cosine(col("embedding"), col("q_emb")))
