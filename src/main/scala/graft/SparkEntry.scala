@@ -255,18 +255,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_points"), dsum(col("value")).as("value_sum"))
     }),
 
-    // ---- salting: two-phase skew-safe aggregation ----
+    // ---- salting: two-phase skew-safe aggregation (explicit top-k
+    //      hot-key salting via PagePartitioning) ----
     "q20_salted_agg" -> ((s, dir) => {
-      val salted = t(s, dir, "events")
-        .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(16)))
-        .groupBy("event_type", "__salt")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(round(col("value"), 6).cast("decimal(28,6)")).as("vs")
+      val ev = t(s, dir, "events")
+      val hot = graft.pages.PagePartitioning.hotKeys(ev, "event_type", topK = 2)
+      graft.pages.PagePartitioning
+        .saltedAgg(
+          ev,
+          "event_type",
+          "event_id",
+          Map(
+            "n_events" -> count(lit(1)),
+            "value_sum" -> sum(round(col("value"), 6).cast("decimal(28,6)"))
+          ),
+          hot
         )
-      salted
-        .groupBy("event_type")
-        .agg(sum("n").as("n_events"), sum("vs").cast("double").as("value_sum"))
+        .withColumn("value_sum", col("value_sum").cast("double"))
     }),
 
     // ---- map histogram build + explode roundtrip ----
