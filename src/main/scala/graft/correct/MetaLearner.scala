@@ -79,7 +79,7 @@ object MetaLearner {
           val gbt = new GBTClassifier()
             .setFeaturesCol("fvec")
             .setLabelCol("label")
-            .setMaxIter(20)
+            .setMaxIter(10) // pair-feature spaces are tiny (|correctors| dims); more trees buy nothing
             .setMaxDepth(3)
             .setSeed(seed)
           val model = gbt.fit(assembler.transform(train))
