@@ -576,6 +576,24 @@ object SparkEntry {
       Correctors
         .vicinityCorrectorOrder2(base, errors, "row_id", Seq("nation", "decile", "segment"))
         .select(col("row_id"), col("corrector"), col("candidate"), round(col("score"), 6).as("score"))
+    }),
+
+    // ---- full correction lifecycle (reference Cleaning.run, §3.1):
+    //      FD mining -> ensemble -> A13 -> overlay (rows-only; the
+    //      stages are individually oracle-checked in q29-q33/q46-q47,
+    //      and CleaningSpec pins the E2E goldens on the reference's
+    //      own debug fixtures) ----
+    "q48_cleaning" -> ((s, dir) => {
+      import s.implicits._
+      val base = corruptible(s, dir, corrupt = true)
+      val detected = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      val labels = t(s, dir, "customer")
+        .filter(col("c_custkey") % 17 === 3 && col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("clean_value"))
+      graft.correct.Cleaning
+        .run(base, "row_id", Seq("nation", "decile", "segment"), detected, labels)
     })
   )
 

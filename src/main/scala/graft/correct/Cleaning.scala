@@ -1,0 +1,130 @@
+package graft.correct
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Feature flags of the correction lifecycle, mirroring the
+  * reference's `Cleaning.__init__` knobs (`src/correction.py:60-130`):
+  * which ensemble members run, the W3 dep budget, and whether the
+  * decision uses the per-column meta-learner or the A13 feature-sum
+  * rule (the deterministic golden path, SURVEY.md §7).
+  */
+case class CleaningConfig(
+    useFd: Boolean = true,
+    useVicinity1: Boolean = true,
+    useVicinity2: Boolean = false,
+    usePdepVicinity: Boolean = false,
+    useImputer: Boolean = true,
+    useValue: Boolean = true,
+    nBestPdeps: Int = 3,
+    useMetaLearner: Boolean = false,
+    metaMinLabels: Int = 10
+)
+
+/** The reference's main entry point (`Cleaning.run`,
+  * `src/correction.py:962-997`, lifecycle §3.1) as one orchestrated
+  * Spark job graph:
+  *
+  *   detected errors + user labels
+  *     -> value-model mining from labeled pairs (driver-side, budget-
+  *        bounded — reference step 4)
+  *     -> FD mining + gpdep weighting (steps 6)
+  *     -> per-corrector suggestion fan-out into the long Suggestion
+  *        relation (step 7)
+  *     -> decision: A13 feature-sum argmax, or per-column GBT
+  *        meta-learner over pivoted pair features (step 9)
+  *     -> user-label overlay always wins (step 10)
+  *
+  * Scale shape: every corrector is a broadcast join of the error-cell
+  * relation against a `groupBy().count()`-reduced model; the only
+  * full-table scans are the count-model builds; the driver only ever
+  * holds labeled pairs (≤ labeling budget) and FD statistics.
+  */
+object Cleaning {
+
+  /** Run the lifecycle; returns chosen corrections (row_id, col,
+    * value) with user labels overlaid.
+    *
+    * @param df        the dirty table (rowId + string-typed cols)
+    * @param detected  error cells (row_id, col, error_value)
+    * @param userLabels labeled clean values (row_id, col, clean_value)
+    */
+  def run(
+      df: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      detected: DataFrame,
+      userLabels: DataFrame,
+      cfg: CleaningConfig = CleaningConfig()
+  ): DataFrame = {
+    val spark = df.sparkSession
+
+    // step 4: value models from labeled (error, correction) pairs
+    val labeledPairs: Map[String, Seq[(String, String)]] =
+      if (!cfg.useValue) Map.empty
+      else
+        detected
+          .join(userLabels, Seq("row_id", "col"))
+          .filter(Tokens.withinValueLength(col("error_value")))
+          .select("col", "error_value", "clean_value")
+          .collect()
+          .map(r => (r.getString(0), (Option(r.getString(1)).getOrElse(""), r.getString(2))))
+          .groupBy(_._1)
+          .map { case (c, xs) => c -> xs.map(_._2).toSeq }
+
+    // step 6: in-engine FD mining + gpdep weights for the fd corrector
+    val suggestions = Seq(
+      if (cfg.useFd) {
+        val mined = Pdep
+          .mineFds(df, detected, rowId, cols)
+          .collect()
+          .map(r => Fd(Seq(r.getString(0)), r.getString(1)))
+          .toSeq
+        if (mined.isEmpty) None
+        else {
+          val gp = Pdep.gpdepTable(df, detected, rowId, mined)
+          Some(Correctors.fdCorrector(df, detected, rowId, gp, mined))
+        }
+      } else None,
+      if (cfg.useVicinity1) Some(Correctors.vicinityCorrectorOrder1(df, detected, rowId, cols)) else None,
+      if (cfg.useVicinity2) Some(Correctors.vicinityCorrectorOrder2(df, detected, rowId, cols)) else None,
+      if (cfg.usePdepVicinity)
+        Some(Correctors.vicinityCorrectorPdep(df, detected, rowId, cols, cfg.nBestPdeps))
+      else None,
+      if (cfg.useImputer) Some(Correctors.frequencyImputer(df, detected, rowId, cols)) else None,
+      if (cfg.useValue && labeledPairs.nonEmpty) Some(Correctors.valueCorrector(detected, labeledPairs))
+      else None
+    ).flatten match {
+      case Nil => Correctors.emptySuggestions(spark)
+      case xs  => xs.reduce(_ unionByName _)
+    }
+
+    // step 9: decision
+    val decided =
+      if (!cfg.useMetaLearner) Correctors.decide(suggestions)
+      else {
+        val correctorNames =
+          suggestions.select("corrector").distinct().collect().map(_.getString(0)).sorted.toSeq
+        MetaLearner.trainPredict(
+          MetaLearner.pairFeatures(suggestions, correctorNames),
+          correctorNames,
+          userLabels,
+          cfg.metaMinLabels
+        )
+      }
+
+    // step 10: user labels always win
+    Correctors.overlayUserLabels(decided, userLabels.withColumnRenamed("clean_value", "value"))
+  }
+
+  /** Convenience: run + apply back onto the wide table. */
+  def repaired(
+      df: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      detected: DataFrame,
+      userLabels: DataFrame,
+      cfg: CleaningConfig = CleaningConfig()
+  ): DataFrame =
+    Cells.applyCorrections(df, run(df, rowId, cols, detected, userLabels, cfg), rowId, cols)
+}
