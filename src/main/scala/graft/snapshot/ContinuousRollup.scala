@@ -113,9 +113,15 @@ object ContinuousRollup {
       val affected = allRows
         .withColumn("part_key", partKeyOfPoint(tsCol, tier))
         .join(broadcast(touched), Seq("part_key"), "left_semi")
+      // cluster rows by their output partition before the partitioned
+      // write: otherwise every shuffle task holds rows of every
+      // part_key and the write fans out |tasks| × |partitions| tiny
+      // files (at any scale, one writer task per partition is the
+      // layout the next reader wants)
       val recomputed = Rollup
         .fromRaw(affected, series, tsCol, tier, sizeCol, langCol = langCol)
         .withColumn("part_key", partKeyOfBucket(tier))
+        .repartition(col("part_key"))
       val path = tierPath(tiersRoot, tier)
       val exists = Files.exists(Paths.get(path))
       val out = recomputed.cache()
