@@ -594,6 +594,37 @@ object SparkEntry {
         .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("clean_value"))
       graft.correct.Cleaning
         .run(base, "row_id", Seq("nation", "decile", "segment"), detected, labels)
+    }),
+
+    // ---- exact distinct aggregation (two-phase expand) ----
+    "q49_distinct_exact" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- mergeable HLL distinct sketches riding the tier hierarchy
+    //      (1m sketches -> union to 1h -> 1d; estimate at read;
+    //      rows-only — estimates are engine-specific; the merge-equals-
+    //      direct and accuracy invariants live in RollupSketchSpec) ----
+    "q50_hll_tiers" -> ((s, dir) => {
+      val sk = Seq("users_hll")
+      val t1m = Rollup.fromRaw(
+        t(s, dir, "events"),
+        Seq("event_type"),
+        "ts",
+        "1m",
+        lit(0L),
+        sketches = Map("users_hll" -> col("user_id"))
+      )
+      val t1h = Rollup.reRollup(t1m, Seq("event_type"), "1m" -> "1h", sketchCols = sk)
+      val t1d = Rollup.reRollup(t1h, Seq("event_type"), "1h" -> "1d", sketchCols = sk)
+      t1d.select(
+        col("event_type"),
+        col("bucket_ts"),
+        col("point_count"),
+        hll_sketch_estimate(col("users_hll")).as("distinct_users_est")
+      )
     })
   )
 
@@ -995,6 +1026,9 @@ object SparkEntry {
          p AS (SELECT decile, nation, candidate,
                       cnt * 1.0 / sum(cnt) OVER (PARTITION BY decile, nation) AS pr FROM c)
          SELECT e.row_id, 'vicinity_2_decile_nation' AS corrector, p.candidate, round(p.pr, 6) AS score
-         FROM err e JOIN p ON e.nation = p.nation AND e.decile = p.decile"""
+         FROM err e JOIN p ON e.nation = p.nation AND e.decile = p.decile""",
+    "q49_distinct_exact" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1"""
   )
 }

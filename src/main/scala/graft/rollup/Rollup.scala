@@ -33,13 +33,19 @@ object Rollup {
       tier: String,
       sizeCol: Column,
       valueSums: Map[String, Column] = Map.empty,
-      langCol: Option[String] = None
+      langCol: Option[String] = None,
+      sketches: Map[String, Column] = Map.empty
   ): DataFrame = {
     val keys = series.map(col) :+ Tiers.bucket(col(tsCol), tier).as("bucket_ts")
     val base: Seq[Column] =
       count(lit(1)).as("point_count") +:
         sum(sizeCol).as("byte_size") +:
-        valueSums.toSeq.sortBy(_._1).map { case (n, c) => sum(c).as(n) }
+        valueSums.toSeq.sortBy(_._1).map { case (n, c) => sum(c).as(n) } ++:
+        // HLL++ (datasketches) distinct sketches: mergeable across
+        // tiers via hll_union_agg, so coarser tiers re-aggregate
+        // sketches exactly like counts — union of sub-sketches is
+        // bit-identical to sketching the union directly
+        sketches.toSeq.sortBy(_._1).map { case (n, c) => hll_sketch_agg(c).as(n) }
     langCol match {
       case None =>
         df.groupBy(keys: _*).agg(base.head, base.tail: _*)
@@ -65,15 +71,22 @@ object Rollup {
   /** Finer tier -> coarser tier: counts and sums re-sum; the lang_hist
     * map (if present) merges by exploding entries and re-folding.
     */
-  def reRollup(tierDf: DataFrame, series: Seq[String], fromTo: (String, String)): DataFrame = {
+  def reRollup(
+      tierDf: DataFrame,
+      series: Seq[String],
+      fromTo: (String, String),
+      sketchCols: Seq[String] = Seq.empty
+  ): DataFrame = {
     val (_, to) = fromTo
     val hasHist = tierDf.columns.contains("lang_hist")
     val measureCols = tierDf.columns
       .filterNot(series.contains)
       .filterNot(Seq("bucket_ts", "lang_hist").contains)
+      .filterNot(sketchCols.contains)
     val keys = series.map(col) :+ Tiers.bucket(col("bucket_ts"), to).as("bucket_ts")
     if (!hasHist) {
-      val aggs = measureCols.map(c => sum(col(c)).as(c))
+      val aggs = measureCols.map(c => sum(col(c)).as(c)) ++
+        sketchCols.map(c => hll_union_agg(col(c)).as(c))
       tierDf.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     } else {
       val exploded = tierDf.select(
