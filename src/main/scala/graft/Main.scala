@@ -74,7 +74,8 @@ object Main {
           .parquet(out)
         Map("out" -> out)
       case "bench" =>
-        val (points, sec) = Bench.rollupBench(spark, kv.getOrElse("pages", "1000000").toLong)
+        val (tp, br, ts, bs) = Bench.rollupBench(spark, kv.getOrElse("pages", "1000000").toLong)
+        val (points, sec) = (tp + br, ts + bs)
         Map("points" -> points.toString, "sec" -> f"$sec%.2f")
       case other => sys.error(s"unknown job '$other'")
     }

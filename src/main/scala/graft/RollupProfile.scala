@@ -33,7 +33,8 @@ object RollupProfile {
     Bench.rollupBench(spark, n) // warm the page cache
 
     collecting = true
-    val (points, sec) = Bench.rollupBench(spark, n)
+    val (tp, br, ts, bs) = Bench.rollupBench(spark, n)
+    val (points, sec) = (tp + br, ts + bs)
     collecting = false
     Thread.sleep(500)
     println(f"""{"total":{"master":"$master","pages":$n,"points":$points,"sec":$sec%.2f}}""")

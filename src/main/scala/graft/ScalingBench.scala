@@ -30,7 +30,8 @@ object ScalingBench {
       spark.sparkContext.setLogLevel("WARN")
       Bench.rollupBench(spark, 20000L) // warmup
       val best = (1 to reps).map { _ =>
-        val (points, sec) = Bench.rollupBench(spark, nPages)
+        val (tp, br, ts, bs) = Bench.rollupBench(spark, nPages)
+        val (points, sec) = (tp + br, ts + bs)
         points / sec
       }.max
       spark.stop()

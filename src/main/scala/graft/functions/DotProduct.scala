@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen'd dot product over two `array<double>` columns.
   *
@@ -19,25 +19,39 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Semantics match the HOF formulation bit-for-bit: sequential
   * left-to-right sum of element products in double precision (same
-  * fp rounding order), so oracle parity is unaffected.
+  * fp rounding order); mismatched lengths and null elements yield
+  * NULL, exactly as `zip_with` null-padding + null-propagating `+`
+  * do. `ImplicitCastInputTypes` coerces SQL-path children
+  * (array<float>/array<int>) to array<double> so `graft_dot` never
+  * misreads narrower element storage.
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ImplicitCastInputTypes {
 
-  // constructed only through the typed `apply(Column, Column)` below,
-  // which casts both sides to array<double> — no analyzer-time input
-  // coercion needed
+  // AbstractDataType is private[sql]; the inferred Seq[ArrayType]
+  // conforms covariantly
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -49,12 +63,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       ctx,
       ev,
       (a, b) => s"""
-        |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double ${ev.value}_s = 0.0;
-        |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
-        |  ${ev.value}_s += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);
+        |int ${ev.value}_n = $a.numElements();
+        |if (${ev.value}_n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double ${ev.value}_s = 0.0;
+        |  for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+        |    if ($a.isNullAt(${ev.value}_i) || $b.isNullAt(${ev.value}_i)) {
+        |      ${ev.isNull} = true;
+        |      break;
+        |    }
+        |    ${ev.value}_s += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);
+        |  }
+        |  if (!${ev.isNull}) ${ev.value} = ${ev.value}_s;
         |}
-        |${ev.value} = ${ev.value}_s;
       """.stripMargin
     )
 

@@ -57,10 +57,15 @@ object Rollup {
           .groupBy(keys :+ col(lc).as("__lang"): _*)
           .agg(base.head, base.tail: _*)
         val gk = series.map(col) :+ col("bucket_ts")
+        // sketches re-merge through hll_union_agg (union of per-lang
+        // sub-sketches == sketching the whole bucket directly), so
+        // requesting sketches together with a lang histogram loses
+        // nothing
         val aggs: Seq[Column] =
           sum("point_count").as("point_count") +:
             sum("byte_size").as("byte_size") +:
-            valueSums.keys.toSeq.sorted.map(n => sum(col(n)).as(n)) :+
+            valueSums.keys.toSeq.sorted.map(n => sum(col(n)).as(n)) ++:
+            sketches.keys.toSeq.sorted.map(n => hll_union_agg(col(n)).as(n)) :+
             map_from_entries(
               array_sort(collect_list(struct(col("__lang"), col("point_count"))))
             ).as("lang_hist")
@@ -96,12 +101,11 @@ object Rollup {
       // per-lang partial: measures must not double-count, so measures
       // aggregate over distinct source rows — instead aggregate measures
       // and histogram in two branches and join on the keys
+      val measureAggs = measureCols.map(c => sum(col(c)).as(c)) ++
+        sketchCols.map(c => hll_union_agg(col(c)).as(c))
       val measures = tierDf
         .groupBy(keys: _*)
-        .agg(
-          measureCols.map(c => sum(col(c)).as(c)).head,
-          measureCols.map(c => sum(col(c)).as(c)).tail: _*
-        )
+        .agg(measureAggs.head, measureAggs.tail: _*)
       val hist = exploded
         .groupBy(series.map(col) :+ col("bucket_ts") :+ col("__lang"): _*)
         .agg(sum("__lang_cnt").as("__cnt"))

@@ -28,6 +28,29 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("mismatched lengths and null elements return NULL like the HOF") {
+    val df = Seq(
+      (Seq(Some(1.0), Some(2.0), Some(3.0)), Seq(Some(4.0), Some(5.0))), // ragged
+      (Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0))), // null element left
+      (Seq(Some(1.0), Some(2.0)), Seq(None, Some(3.0))), // null element right
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0))) // clean
+    ).toDF("a", "b")
+    val out = df
+      .select(DotProduct(col("a"), col("b")).as("fast"), hofDot(col("a"), col("b")).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(out.count(_.isNullAt(0)) == 3)
+  }
+
+  test("SQL path coerces float/int arrays instead of misreading storage") {
+    Seq((Array(1.5f, 2.5f), Array(2, 4))).toDF("a", "b").createOrReplaceTempView("dp_coerce")
+    val v = spark.sql("SELECT graft_dot(a, b) AS d FROM dp_coerce").head().getDouble(0)
+    assert(v == 1.5 * 2.0 + 2.5 * 4.0)
+  }
+
   test("works over many rows through whole-stage codegen") {
     val df = spark
       .range(1000)

@@ -40,6 +40,28 @@ class RollupSketchSpec extends SparkSpec {
     }
   }
 
+  test("sketches survive the lang-histogram path and its re-rollup") {
+    val withLang = raw.withColumn("lang", concat(lit("l"), pmod(col("user_id"), lit(4))))
+    val t1h = Rollup.fromRaw(
+      withLang, Seq("series"), "ts", "1h", lit(0L),
+      langCol = Some("lang"), sketches = Map("u" -> col("user_id"))
+    )
+    assert(t1h.columns.contains("u") && t1h.columns.contains("lang_hist"))
+    val t1d = Rollup.reRollup(t1h, Seq("series"), "1h" -> "1d", sketchCols = Seq("u"))
+    assert(t1d.columns.contains("u") && t1d.columns.contains("lang_hist"))
+    val est = t1d.select(col("series"), col("bucket_ts"), hll_sketch_estimate(col("u")).as("est"))
+    val exact = withLang
+      .groupBy(col("series"), date_trunc("day", col("ts")).as("bucket_ts"))
+      .agg(countDistinct("user_id").as("n"))
+    val j = est.join(exact, Seq("series", "bucket_ts")).collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val e = r.getAs[Long]("est").toDouble
+      val n = r.getAs[Long]("n").toDouble
+      assert(math.abs(e - n) / n < 0.05, s"est $e vs exact $n")
+    }
+  }
+
   test("estimate is within 5% of the exact distinct count") {
     val t1d = Rollup.fromRaw(raw, Seq("series"), "ts", "1d", lit(0L), sketches = Map("u" -> col("user_id")))
     val est = t1d
