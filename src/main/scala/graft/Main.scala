@@ -52,18 +52,31 @@ object Main {
         val n = kv("pages").toLong
         val root = kv("root")
         val dirty = PageGen.corrupt(PageGen.clean(spark, n, kv.getOrElse("domains", "50").toInt))
-        val id = SnapshotStore.append(root, dirty)
+        val id = SnapshotStore.append(root, dirty, tsCol = Some("warc_ts"))
         Map("snapshot_id" -> id.toString, "pages" -> n.toString)
       case "update" =>
-        val applied = ContinuousRollup.update(
-          spark,
-          kv("root"),
-          kv("tiers"),
-          Seq("domain", "lang"),
-          "warc_ts",
-          length(col("html")).cast("long"),
-          prepare = df => PagePipeline.repair(df).withColumn("domain", PageGen.domainOf("url"))
-        )
+        val root = kv("root")
+        val tiersRoot = kv("tiers")
+        val from = ContinuousRollup.lastApplied(tiersRoot)
+        val to = SnapshotStore.currentSnapshotId(root)
+        val applied =
+          if (to <= from) from
+          else {
+            // roll the lang-count model forward from the new batch only
+            // (sum-mergeable counts == full-table counts), so the pruned
+            // partition recompute still repairs with full-table context
+            val model = graft.pages.PageModel.update(spark, root, tiersRoot, from, to)
+            ContinuousRollup.update(
+              spark,
+              root,
+              tiersRoot,
+              Seq("domain", "lang"),
+              "warc_ts",
+              length(col("html")).cast("long"),
+              prepare =
+                df => PagePipeline.repairWithCounts(df, model).withColumn("domain", PageGen.domainOf("url"))
+            )
+          }
         Map("applied_snapshot" -> applied.toString)
       case "repair" =>
         val out = kv("out")

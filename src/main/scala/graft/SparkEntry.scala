@@ -441,9 +441,9 @@ object SparkEntry {
       val tiers = "/tmp/graft_q37/tiers"
       graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q37")
       val ev = t(s, dir, "events")
-      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 0), tsCol = Some("ts"))
       graft.snapshot.ContinuousRollup.update(s, root, tiers, Seq("event_type"), "ts", lit(0L))
-      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 1), tsCol = Some("ts"))
       graft.snapshot.ContinuousRollup.update(s, root, tiers, Seq("event_type"), "ts", lit(0L))
       graft.snapshot.ContinuousRollup
         .readTier(s, tiers, "1h")

@@ -85,13 +85,33 @@ object PagePipeline {
       .select(col("row_id"), col("e.col").as("col"), col("e.error_value").as("error_value"))
   }
 
-  /** Repair all detected errors; returns the corrected page table with
-    * the original five columns.
+  /** The (domain, lang) count model over RAW rows — the single model
+    * scan every repair derives from. Sum-mergeable: counts over a
+    * union of batches = summed per-batch counts, which is what makes
+    * the model incrementally maintainable (`PageModel.update`) with
+    * NO full-table rescan per continuous-rollup update.
     */
-  def repair(pages: DataFrame): DataFrame = {
+  def langCounts(pages: DataFrame): DataFrame =
+    withIdDomain(pages).groupBy("domain", "lang").agg(count(lit(1)).as("cnt"))
+
+  /** Repair all detected errors; returns the corrected page table with
+    * the original five columns. Computes the count model from `pages`
+    * itself — for partition-pruned incremental repair pass a
+    * full-table model to `repairWithCounts` instead.
+    */
+  def repair(pages: DataFrame): DataFrame =
+    repairWithCounts(pages, langCounts(pages))
+
+  /** Repair with an externally supplied (domain, lang, cnt) count
+    * model. The model must cover (at least) the domains present in
+    * `pages`; decisions then depend only on the model, so repairing a
+    * pruned subset of the table equals restricting a full-table repair
+    * to that subset — the exactness contract incremental tier updates
+    * rely on.
+    */
+  def repairWithCounts(pages: DataFrame, counts0: DataFrame): DataFrame = {
     val withId = withIdDomain(pages)
-    // the ONE model scan: (domain, lang) counts
-    val langCounts = withId.groupBy("domain", "lang").agg(count(lit(1)).as("cnt")).cache()
+    val langCounts = counts0.cache()
     val w = Window.partitionBy("domain").orderBy(col("cnt").desc, col("lang").asc)
     val majority = broadcast(
       langCounts

@@ -73,18 +73,34 @@ object ContinuousRollup {
     case _     => to_date(date_trunc("day", col("bucket_ts")))
   }
 
+  /** Days whose stored `part_day` cannot be trusted to equal the
+    * prepared row's day: corrupt-timestamp sentinels (at/under the
+    * epoch) that `prepare` may repair into any real day. Such
+    * partitions are always read by pruned updates.
+    */
+  def defaultSuspectDay(dayToken: String): Boolean =
+    dayToken <= "1970-01-02" // ISO dates compare lexicographically
+
   /** Fold all snapshots newer than the applied marker into every tier.
     * Returns the new applied snapshot id (unchanged if nothing new).
-    */
-  /** `prepare` runs on the raw source rows BEFORE partition keys are
+    *
+    * `prepare` runs on the raw source rows BEFORE partition keys are
     * derived (e.g. the pages repair stage: corrupted `warc_ts` must be
     * repaired first, because the repaired timestamp decides which tier
-    * partitions a row touches). It is applied to the full snapshot
-    * range, so model-based repairs see the whole table as of snapshot
-    * `to`; partitions recomputed at different update times therefore
-    * use the model of their recompute time (exact when the underlying
-    * models — e.g. per-domain majority lang — are stable, which the
-    * correction contract assumes).
+    * partitions a row touches). Contract for incremental correctness:
+    * repairs of the partition-deciding timestamp must be row-local
+    * (the pages pipeline re-parses it from the row's own html);
+    * model-based repairs of other columns see exactly the rows of the
+    * partitions being recomputed, so pass a prepare whose models are
+    * either maintained externally (see `graft.Main`'s incremental
+    * lang-count model) or per-partition-stable.
+    *
+    * I/O is incremental, not just compute: when the source snapshots
+    * were appended with a `tsCol` (day-partitioned data + manifest day
+    * lists), the full-range scan is pruned at FILE level to the days
+    * of the touched tier partitions (expanded to whole 30d windows)
+    * plus suspect-day partitions — nothing else is opened. Without day
+    * manifests it falls back to the full-range scan.
     */
   def update(
       spark: SparkSession,
@@ -94,7 +110,8 @@ object ContinuousRollup {
       tsCol: String,
       sizeCol: Column,
       langCol: Option[String] = None,
-      prepare: DataFrame => DataFrame = identity
+      prepare: DataFrame => DataFrame = identity,
+      suspectDay: String => Boolean = defaultSuspectDay
   ): Long = {
     val from = lastApplied(tiersRoot)
     val to = SnapshotStore.currentSnapshotId(sourceRoot)
@@ -103,7 +120,33 @@ object ContinuousRollup {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     val newRows = prepare(SnapshotStore.readRange(spark, sourceRoot, from, to))
-    val allRows = prepare(SnapshotStore.readRange(spark, sourceRoot, 0L, to))
+
+    val canPrune = SnapshotStore.hasDayInfo(sourceRoot, 0L, to)
+    val (allRows, dirsRead, dirsTotal) =
+      if (!canPrune) {
+        val dirs = SnapshotStore.resolveDirs(sourceRoot, 0L, to)
+        (prepare(spark.read.parquet(dirs: _*)), dirs.size, dirs.size)
+      } else {
+        // one tiny job over the prepared batch: the days its points
+        // land on (post-repair) and the 30d windows they touch; windows
+        // expand to their full day span so a touched 30d partition can
+        // recompute from raw
+        val touched = newRows
+          .select(
+            to_date(col(tsCol)).as("d"),
+            to_date(Tiers.bucket(col(tsCol), "30d")).as("w")
+          )
+          .distinct()
+          .collect()
+        val days = touched.iterator.filterNot(_.isNullAt(0)).map(_.getDate(0).toLocalDate).toSet
+        val windows = touched.iterator.filterNot(_.isNullAt(1)).map(_.getDate(1).toLocalDate).toSet
+        val needed: Set[String] =
+          (days ++ windows.flatMap(w => (0 until 30).map(i => w.plusDays(i.toLong))))
+            .map(_.toString)
+        val dirs = SnapshotStore.resolveDirs(sourceRoot, 0L, to, Some(needed), suspectDay)
+        val total = SnapshotStore.resolveDirs(sourceRoot, 0L, to)
+        (prepare(spark.read.parquet(dirs: _*)), dirs.size, total.size)
+      }
 
     val lineageRows = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long)]()
     val t0 = System.nanoTime()
@@ -141,8 +184,8 @@ object ContinuousRollup {
       .write
       .mode("append")
       .parquet(s"$tiersRoot/_lineage")
-    Seq((to, (System.nanoTime() - t0) / 1e9, java.time.Instant.now.toString))
-      .toDF("applied_snapshot", "update_seconds", "wall_clock")
+    Seq((to, (System.nanoTime() - t0) / 1e9, java.time.Instant.now.toString, dirsRead, dirsTotal))
+      .toDF("applied_snapshot", "update_seconds", "wall_clock", "source_dirs_read", "source_dirs_total")
       .write
       .mode("append")
       .parquet(s"$tiersRoot/_metrics")

@@ -4,7 +4,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
 /** Iceberg-lite snapshot table (SURVEY.md §7): Parquet data files +
@@ -14,16 +15,28 @@ import scala.jdk.CollectionConverters._
   * the Iceberg runtime (no Iceberg jars exist in /opt/spark/jars).
   *
   * Layout:
-  *   root/data/s<id>/...            parquet written by snapshot <id>
-  *   root/_snapshots/v<id>.json     manifest {id, parent, dirs, rows}
-  *   root/_snapshots/CURRENT        current snapshot id (atomic rename)
+  *   root/data/s<id>/...                      parquet written by snapshot <id>
+  *   root/data/s<id>/part_day=<d>/...         when appended with a tsCol
+  *   root/_snapshots/v<id>.json               manifest {id, parent, rows, dirs, days}
+  *   root/_snapshots/CURRENT                  current snapshot id (atomic rename)
   *
-  * Scale notes: manifests store directory-level entries (one per
-  * snapshot append), not per-row anything; readers prune to the data
-  * dirs of the snapshot range they need, so an incremental consumer
-  * reads only newly-added files — the continuous-aggregate property.
+  * Scale notes: manifests store directory-level entries — one per
+  * snapshot append, plus one per day partition when the append is
+  * time-partitioned — never per-row anything. Readers prune twice
+  * without touching data:
+  *   - snapshot range -> only dirs of snapshots in (from, to]
+  *     (the continuous-aggregate incremental-read property);
+  *   - day set -> only `part_day=` leaf dirs whose day is wanted
+  *     (the continuous-aggregate partition-recompute property: an
+  *     incremental update reads only the files of the tier partitions
+  *     it recomputes, not the full history).
+  * Row counts come from an `Observation` on the write job itself, so
+  * an append is exactly one pass over the batch.
   */
 object SnapshotStore {
+
+  /** Day token Spark uses for a null partition value. */
+  val NullDayToken = "__HIVE_DEFAULT_PARTITION__"
 
   private val mapper = new ObjectMapper()
 
@@ -63,13 +76,38 @@ object SnapshotStore {
     * between the two leaves an uncommitted orphan dir that readers
     * never see (manifest-driven reads), which is the Iceberg commit
     * protocol in miniature.
+    *
+    * With `tsCol` set, data is written partitioned by the timestamp's
+    * day (`part_day=<date>` leaf dirs; null timestamps land in the
+    * hive default partition) and the manifest records the day list —
+    * the metadata incremental readers prune on. The batch is
+    * range-clustered on (day, ts) first so each writer task covers a
+    * narrow day range: parallel writers per day, no
+    * tasks×partitions small-file fan-out, and the time-range file
+    * layout the rollup scan wants.
     */
-  def append(root: String, df: DataFrame): Long = {
+  def append(root: String, df: DataFrame, tsCol: Option[String] = None): Long = {
     val parent = currentSnapshotId(root)
     val id = parent + 1
     val dataDir = s"$root/data/s$id"
-    df.write.mode("errorifexists").parquet(dataDir)
-    val rows = df.sparkSession.read.parquet(dataDir).count()
+    val obs = Observation(s"graft_append_s$id")
+
+    tsCol match {
+      case Some(ts) =>
+        df.withColumn("part_day", to_date(col(ts)))
+          .repartitionByRange(col("part_day"), col(ts))
+          .observe(obs, count(lit(1)).as("rows"))
+          .write
+          .mode("errorifexists")
+          .partitionBy("part_day")
+          .parquet(dataDir)
+      case None =>
+        df.observe(obs, count(lit(1)).as("rows"))
+          .write
+          .mode("errorifexists")
+          .parquet(dataDir)
+    }
+    val rows = obs.get("rows").asInstanceOf[Long]
 
     val m: ObjectNode = mapper.createObjectNode()
     m.put("snapshotId", id)
@@ -77,9 +115,25 @@ object SnapshotStore {
     m.put("rows", rows)
     val dirs: ArrayNode = m.putArray("dataDirs")
     dirs.add(dataDir)
+    if (tsCol.isDefined) {
+      val days: ArrayNode = m.putArray("days")
+      listDayTokens(dataDir).foreach(days.add)
+    }
     atomicWrite(snapDir(root).resolve(s"v$id.json"), mapper.writeValueAsString(m))
     atomicWrite(snapDir(root).resolve("CURRENT"), id.toString)
     id
+  }
+
+  private def listDayTokens(dataDir: String): Seq[String] = {
+    val p = Paths.get(dataDir)
+    Files
+      .list(p)
+      .iterator()
+      .asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("part_day=") => s.stripPrefix("part_day=") }
+      .toSeq
+      .sorted
   }
 
   /** Recursive local-FS delete (test/fixture helper — production
@@ -98,12 +152,71 @@ object SnapshotStore {
   def read(spark: SparkSession, root: String): DataFrame =
     readRange(spark, root, 0L, currentSnapshotId(root))
 
+  /** True when every snapshot in (from, to] recorded a day list — the
+    * precondition for metadata day pruning.
+    */
+  def hasDayInfo(root: String, fromExclusive: Long, toInclusive: Long): Boolean = {
+    val ids = snapshotIds(root).filter(id => id > fromExclusive && id <= toInclusive)
+    ids.nonEmpty && ids.forall(id => manifest(root, id).has("days"))
+  }
+
+  /** Data dirs of snapshots in (from, to], pruned to `wantedDays` when
+    * given (a day is kept when its ISO-date token is wanted, the
+    * caller's `alwaysInclude` predicate says so, or it is the null
+    * partition). Time-partitioned snapshots resolve to `part_day=`
+    * LEAF dirs (uniform schema with legacy unpartitioned dirs — the
+    * partition value is never a data column); legacy dirs resolve
+    * whole.
+    */
+  def resolveDirs(
+      root: String,
+      fromExclusive: Long,
+      toInclusive: Long,
+      wantedDays: Option[Set[String]] = None,
+      alwaysInclude: String => Boolean = _ => false
+  ): Seq[String] = {
+    snapshotIds(root)
+      .filter(id => id > fromExclusive && id <= toInclusive)
+      .flatMap { id =>
+        val m = manifest(root, id)
+        val dataDirs = m.get("dataDirs").elements().asScala.map(_.asText()).toSeq
+        if (!m.has("days")) dataDirs
+        else {
+          val days = m.get("days").elements().asScala.map(_.asText()).toSeq
+          val kept = wantedDays match {
+            case None => days
+            case Some(w) =>
+              days.filter(d => w.contains(d) || d == NullDayToken || alwaysInclude(d))
+          }
+          for (dir <- dataDirs; d <- kept) yield s"$dir/part_day=$d"
+        }
+      }
+  }
+
   /** Incremental read: rows added by snapshots in (from, to]. */
   def readRange(spark: SparkSession, root: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
-    val dirs = snapshotIds(root)
-      .filter(id => id > fromExclusive && id <= toInclusive)
-      .flatMap(id => manifest(root, id).get("dataDirs").elements().asScala.map(_.asText()).toSeq)
+    val dirs = resolveDirs(root, fromExclusive, toInclusive)
     require(dirs.nonEmpty, s"no data dirs in snapshot range ($fromExclusive, $toInclusive] of $root")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Pruned incremental read: only the `part_day` leaf dirs in
+    * `wantedDays` (plus the null partition and days the
+    * `alwaysInclude` predicate flags — e.g. corrupt-timestamp sentinel
+    * days whose rows may repair into any wanted day). File-level
+    * pruning from the manifests alone: nothing outside the returned
+    * dirs is ever opened.
+    */
+  def readRangeDays(
+      spark: SparkSession,
+      root: String,
+      fromExclusive: Long,
+      toInclusive: Long,
+      wantedDays: Set[String],
+      alwaysInclude: String => Boolean = _ => false
+  ): DataFrame = {
+    val dirs = resolveDirs(root, fromExclusive, toInclusive, Some(wantedDays), alwaysInclude)
+    require(dirs.nonEmpty, s"no data dirs for ${wantedDays.size} wanted days in ($fromExclusive, $toInclusive] of $root")
     spark.read.parquet(dirs: _*)
   }
 }

@@ -101,4 +101,50 @@ class PagesPipelineSpec extends SparkSpec {
     assert(d.except(a).isEmpty, "false positives")
     assert(a.except(d).isEmpty, "missed errors")
   }
+
+  test("incremental model + file-pruned updates == one-shot repair rollup, exactly") {
+    import graft.snapshot.{ContinuousRollup, SnapshotStore}
+    val base = java.nio.file.Files.createTempDirectory("pages_incr").toString
+    val root = s"$base/src"
+    val tiers = s"$base/tiers"
+    // batch 2 is a crawl of the LAST few days only: its corrupted
+    // timestamps (epoch-0 sentinels) repair back into that window, so
+    // the second update recomputes only recent partitions
+    val b1 = PageGen.corrupt(clean.filter(col("warc_ts") < "2024-02-01"))
+    val b2 = PageGen.corrupt(clean.filter(col("warc_ts") >= "2024-02-01"))
+
+    def upd(): Long = {
+      val from = ContinuousRollup.lastApplied(tiers)
+      val to = SnapshotStore.currentSnapshotId(root)
+      val model = PageModel.update(spark, root, tiers, from, to)
+      ContinuousRollup.update(
+        spark, root, tiers, Seq("domain", "lang"), "warc_ts",
+        length(col("html")).cast("long"),
+        prepare = df => PagePipeline.repairWithCounts(df, model).withColumn("domain", PageGen.domainOf("url"))
+      )
+    }
+    SnapshotStore.append(root, b1, tsCol = Some("warc_ts"))
+    upd()
+    SnapshotStore.append(root, b2, tsCol = Some("warc_ts"))
+    upd()
+
+    // the second update pruned: days 01-01..01-16 (previous 30d
+    // window, untouched by a February crawl) were never opened
+    val m = spark.read
+      .parquet(s"$tiers/_metrics")
+      .filter(col("applied_snapshot") === 2)
+      .head()
+    assert(
+      m.getAs[Int]("source_dirs_read") < m.getAs[Int]("source_dirs_total"),
+      s"expected pruning: ${m.getAs[Int]("source_dirs_read")}/${m.getAs[Int]("source_dirs_total")}"
+    )
+
+    // bit-exact vs the one-shot repair-then-rollup of the full table
+    val oneShot = PagePipeline.repair(dirty).withColumn("domain", PageGen.domainOf("url"))
+    for (t <- Seq("1h", "1d", "30d")) {
+      val got = ContinuousRollup.readTier(spark, tiers, t)
+      val want = Rollup.fromRaw(oneShot, Seq("domain", "lang"), "warc_ts", t, length(col("html")).cast("long"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"tier $t mismatch")
+    }
+  }
 }

@@ -61,6 +61,85 @@ class SnapshotSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tiers/_metrics").count() == 2)
   }
 
+  test("day-partitioned appends prune incremental update I/O to touched partitions") {
+    val root = tmpDir("snap_src3")
+    val tiers = tmpDir("snap_tiers3")
+    // batch 1: the whole month; batch 2: one single day
+    val b1 = events.filter(to_date(col("ts")) =!= "2024-01-28")
+    val b2 = events.filter(to_date(col("ts")) === "2024-01-28")
+    assert(b2.count() > 0)
+
+    SnapshotStore.append(root, b1, tsCol = Some("ts"))
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L))
+    SnapshotStore.append(root, b2, tsCol = Some("ts"))
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L))
+
+    // the second update must NOT have read snapshot-1 files outside the
+    // touched partitions: 2024-01-28 touches only the epoch-anchored
+    // 30d window starting 2024-01-18, so days 01-01..01-17 stay closed
+    val m = spark.read
+      .parquet(s"$tiers/_metrics")
+      .filter(col("applied_snapshot") === 2)
+      .select("source_dirs_read", "source_dirs_total")
+      .head()
+    assert(m.getInt(0) < m.getInt(1), s"expected pruning, read ${m.getInt(0)}/${m.getInt(1)} dirs")
+    // exact file listing: wanted = {01-28} + its 30d window span
+    val wanted = (0 until 30).map(i => java.time.LocalDate.parse("2024-01-18").plusDays(i.toLong).toString).toSet + "2024-01-28"
+    val dirs = SnapshotStore.resolveDirs(root, 0L, 2L, Some(wanted), ContinuousRollup.defaultSuspectDay)
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val day = d.substring(d.lastIndexOf("part_day=") + "part_day=".length)
+      assert(day >= "2024-01-18" && day <= "2024-01-30", s"unexpected dir read: $d")
+    }
+
+    // and the tiers must still equal the one-shot recompute exactly
+    for (t <- Seq("1m", "1h", "1d", "30d")) {
+      val got = ContinuousRollup.readTier(spark, tiers, t)
+      val want = fullTier(events, t)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"tier $t mismatch")
+    }
+  }
+
+  test("late data: a month-old batch re-touches only old partitions") {
+    val root = tmpDir("snap_src4")
+    val tiers = tmpDir("snap_tiers4")
+    // batch 1: the recent 30d window (days 01-18..01-30); batch 2
+    // arrives later carrying only OLD timestamps (days 01-01..01-17,
+    // all inside the 30d window 2023-12-19..2024-01-17)
+    val b1 = events.filter(to_date(col("ts")) >= "2024-01-18")
+    val late = events.filter(to_date(col("ts")) < "2024-01-18")
+    assert(b1.count() > 0 && late.count() > 0)
+
+    SnapshotStore.append(root, b1, tsCol = Some("ts"))
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L))
+    SnapshotStore.append(root, late, tsCol = Some("ts"))
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L))
+
+    // the late update recomputed exactly the 17 old day-partitions (1d
+    // tier) and exactly 1 old 30d window; none of batch 1's days
+    val lineage = spark.read
+      .parquet(s"$tiers/_lineage")
+      .filter(col("applied_snapshot") === 2)
+      .select("tier", "partitions_touched")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(lineage("1d") == 17L, s"late 1d partitions: ${lineage("1d")}")
+    assert(lineage("30d") == 1L, s"late 30d partitions: ${lineage("30d")}")
+    // file pruning: the late update never opened batch 1's files
+    val m = spark.read
+      .parquet(s"$tiers/_metrics")
+      .filter(col("applied_snapshot") === 2)
+      .head()
+    assert(m.getAs[Int]("source_dirs_read") == 17 && m.getAs[Int]("source_dirs_total") == 30)
+
+    for (t <- Seq("1m", "1h", "1d", "30d")) {
+      val got = ContinuousRollup.readTier(spark, tiers, t)
+      val want = fullTier(events, t)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"late tier $t mismatch")
+    }
+  }
+
   test("update is a no-op when nothing is new, and resumes after a lost marker") {
     val root = tmpDir("snap_src2")
     val tiers = tmpDir("snap_tiers2")
