@@ -625,6 +625,13 @@ object SparkEntry {
         col("point_count"),
         hll_sketch_estimate(col("users_hll")).as("distinct_users_est")
       )
+    }),
+
+    // ---- dedup: LSH-bucketed embedding near-dup (the 100-TB path of
+    //      q35: candidates from sign buckets, exact verify) ----
+    "q51_embed_neardup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      Ann.cosineNearDupPairsLsh(emb, threshold = 0.4, tables = 8, planes = 4)
     })
   )
 
@@ -1029,6 +1036,91 @@ object SparkEntry {
          FROM err e JOIN p ON e.nation = p.nation AND e.decile = p.decile""",
     "q49_distinct_exact" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    // Algorithm-parity oracle: the SAME MinHash+LSH algorithm
+    // (md5-prefix shingle hash, affine minhash family, band-slice
+    // buckets) re-expressed in SQL — verifies the approximate path
+    // itself, not a recall-dependent comparison to the exact pairs.
+    "q22_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+                   WHERE len(t) >= 3),
+         hv AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1000000007 AS hh
+                FROM grams),
+         mh AS (SELECT doc_id, i, min(((131 * i + 7) * hh + (1000003 * i + 12345)) % 1000000007) AS v
+                FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) ii GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(v ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         bk AS (SELECT doc_id, b, s[b * 4 + 1 : b * 4 + 4] AS key
+                FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bk x JOIN bk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         est AS (SELECT id_a, id_b,
+                        list_sum(list_transform(generate_series(1, 32),
+                          j -> CASE WHEN sa.s[j] = sb.s[j] THEN 1 ELSE 0 END)) / 32.0 AS est_jaccard
+                 FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""",
+    // Algorithm-parity oracle: identical 32-table x 4-plane LCG LSH
+    // candidate generation + exact rerank in SQL.
+    "q24_ann_lsh" ->
+      """WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         bk AS (SELECT id, t,
+                       list_sum(list_transform(generate_series(0, 3), j ->
+                         CASE WHEN list_dot_product(e, list_transform(generate_series(0, 63), d ->
+                                ((131 * (t * 4 + j) + d) * 1103515245 + 12345) % 2147483648 / 1073741824.0 - 1.0)) >= 0
+                              THEN 1 << j ELSE 0 END)) AS key
+                FROM c CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS t) tt),
+         qb AS (SELECT id AS query_id, t, key FROM bk WHERE id < 5),
+         cand AS (SELECT DISTINCT qb.query_id, bk.id
+                  FROM bk JOIN qb ON bk.t = qb.t AND bk.key = qb.key AND bk.id <> qb.query_id),
+         q AS (SELECT id AS query_id, e AS qe FROM c WHERE id < 5),
+         scored AS (SELECT cand.query_id, cand.id,
+                           list_dot_product(ce.e, q.qe) /
+                             (sqrt(list_dot_product(ce.e, ce.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+                    FROM cand JOIN c ce ON ce.id = cand.id JOIN q ON q.query_id = cand.query_id),
+         ranked AS (SELECT query_id, id AS neighbor_id,
+                           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+                    FROM scored)
+         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10""",
+    // Algorithm-parity oracle: same IVF (first-16 centroids, nearest
+    // cell assignment, 4-probe rerank) in SQL.
+    "q28_ann_ivf" ->
+      """WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cent AS (SELECT id AS centroid_id, e AS ce FROM c0 ORDER BY id LIMIT 16),
+         cs AS (SELECT c0.id, c0.e, cent.centroid_id,
+                       list_dot_product(c0.e, cent.ce) /
+                         (sqrt(list_dot_product(c0.e, c0.e)) * sqrt(list_dot_product(cent.ce, cent.ce))) AS c_sim
+                FROM c0 CROSS JOIN cent),
+         ca AS (SELECT id, e, centroid_id AS cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY id ORDER BY c_sim DESC, centroid_id ASC) AS r FROM cs)
+                WHERE r = 1),
+         qa AS (SELECT id AS query_id, e AS qe, centroid_id AS cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY id ORDER BY c_sim DESC, centroid_id ASC) AS r
+                  FROM cs WHERE id < 5)
+                WHERE r <= 4),
+         scored AS (SELECT qa.query_id, ca.id,
+                           list_dot_product(ca.e, qa.qe) /
+                             (sqrt(list_dot_product(ca.e, ca.e)) * sqrt(list_dot_product(qa.qe, qa.qe))) AS sim
+                    FROM ca JOIN qa USING (cell) WHERE ca.id <> qa.query_id),
+         ranked AS (SELECT query_id, id AS neighbor_id,
+                           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+                    FROM scored)
+         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10""",
+    // Algorithm-parity oracle: 8 LSH tables x 4 LCG planes candidate
+    // generation + exact cosine verification in SQL.
+    "q51_embed_neardup_lsh" ->
+      """WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         n AS (SELECT id, e, sqrt(list_dot_product(e, e)) AS nrm FROM c),
+         bk AS (SELECT id, t,
+                       list_sum(list_transform(generate_series(0, 3), j ->
+                         CASE WHEN list_dot_product(e, list_transform(generate_series(0, 63), d ->
+                                ((131 * (t * 4 + j) + d) * 1103515245 + 12345) % 2147483648 / 1073741824.0 - 1.0)) >= 0
+                              THEN 1 << j ELSE 0 END)) AS key
+                FROM n CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS t) tt),
+         cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                  FROM bk x JOIN bk y ON x.t = y.t AND x.key = y.key AND x.id < y.id),
+         p AS (SELECT id_a, id_b, list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
+               FROM cand JOIN n a ON a.id = id_a JOIN n b ON b.id = id_b)
+         SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.4"""
   )
 }

@@ -80,16 +80,24 @@ object Ann {
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component
-    * derived from xxhash64(p, d) scaled to [-1, 1].
+    * from a 31-bit LCG over the (p, d) index, scaled to [-1, 1).
+    * Integer arithmetic only (then one exact power-of-two division),
+    * so any SQL engine reproduces the planes bit-for-bit — the LSH
+    * oracle checks algorithm parity, not recall luck.
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
+  private def planeComponent(p: Int, d: Column): Column = {
+    val h = pmod((lit(131L * p) + d) * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    (h.cast("double") / lit(1073741824.0)) - lit(1.0)
+  }
 
   /** Sign signature of an embedding under `planes` hyperplanes, as an
-    * integer bucket key.
+    * integer bucket key. `table` selects an independent plane family
+    * (global plane index = table * planes + j). The embedding must
+    * already be array<double>.
     */
-  def lshBucket(emb: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
+  def lshBucket(emb: Column, planes: Int, table: Int = 0): Column = {
+    val bits = (0 until planes).map { j =>
+      val p = table * planes + j
       val proj = aggregate(
         zip_with(
           emb,
@@ -99,35 +107,99 @@ object Ann {
         lit(0.0),
         (acc, x) => acc + x
       )
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      when(proj >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
     }
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** LSH-bucketed approximate top-k: corpus and queries hashed to sign
-    * buckets; each query reranks exactly within its bucket. Misses are
-    * possible (that is the approximation); `planes` trades recall for
-    * bucket size.
+  /** (id, tb, key) bucket relation over `tables` independent LSH
+    * tables — the shuffle-friendly candidate-generation shape: keys,
+    * never pairs, cross the wire.
+    */
+  private def bucketRelation(df: DataFrame, idName: String, tables: Int, planes: Int): DataFrame =
+    df.select(
+      col(idName),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tb"), lshBucket(col("embedding"), planes, t).as("key"))): _*)).as("bk")
+    ).select(col(idName), col("bk.tb").as("tb"), col("bk.key").as("key"))
+
+  /** Multi-table LSH approximate top-k: `tables` independent sign-
+    * bucket tables of `planes` hyperplanes each; a (query, doc) pair
+    * becomes a candidate when it shares ANY table's bucket, then each
+    * query reranks its candidate set exactly. Union-of-tables recall
+    * is 1-(1-p^planes)^tables (p = 1 - angle/pi); see SimilaritySpec
+    * for the measured figure on the test corpus. More tables -> higher
+    * recall, more candidates; more planes -> smaller buckets.
     */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      planes: Int = 8
+      planes: Int = 4,
+      tables: Int = 32
   ): DataFrame = {
-    val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
-    val q = queries
-      .select(col("query_id"), col("embedding").as("q_emb"))
-      .withColumn("bucket", lshBucket(col("q_emb"), planes))
-    val scored = c
-      .join(broadcast(q), Seq("bucket"))
+    val c = corpus.select(col("id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = queries.select(col("query_id"), col("embedding").cast("array<double>").as("q_emb"))
+    val cB = bucketRelation(c, "id", tables, planes)
+    val qB = bucketRelation(q.withColumnRenamed("q_emb", "embedding"), "query_id", tables, planes)
+    val cand = cB
+      .join(broadcast(qB), Seq("tb", "key"))
       .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id")
+      .distinct()
+    val scored = cand
+      .join(c, "id")
+      .join(broadcast(q), "query_id")
       .withColumn("sim", cosine(col("embedding"), col("q_emb")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** Bucketed near-duplicate pairs — the 100-TB path for what
+    * `cosineNearDupPairs` does all-pairs: `tables` independent LSH
+    * sign-bucket tables of `planes` hyperplanes each generate
+    * candidates (docs sharing any table's bucket), then ONLY
+    * candidates get the exact cosine test against `threshold`. The
+    * shuffle key is (table, bucket), never a doc pair, so candidate
+    * generation is linear in corpus size + bucket collisions; recall
+    * is the standard LSH union-of-tables probability
+    * 1 - (1 - p^planes)^tables with p = 1 - θ/π (tune tables/planes
+    * per corpus; see AnnSpec for the measured figure on the test
+    * corpus). Precision is exact: every emitted pair passed the real
+    * similarity test.
+    */
+  def cosineNearDupPairsLsh(
+      emb: DataFrame,
+      threshold: Double,
+      tables: Int = 8,
+      planes: Int = 4
+  ): DataFrame = {
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    val withNorm = emb
+      .select(col("id"), asDouble.as("emb"), norm(asDouble).as("nrm"))
+      .cache()
+    val bucketed = withNorm.select(
+      col("id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tb"), lshBucket(col("emb"), planes, t).as("key"))): _*)).as("bk")
+    ).select(col("id"), col("bk.tb").as("tb"), col("bk.key").as("key"))
+
+    val cand = bucketed
+      .as("x")
+      .join(bucketed.as("y"), Seq("tb", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    cand
+      .join(withNorm.select(col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(withNorm.select(col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b")), "id_b")
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** IVF-style variant: coarse centroids = the `nCentroids` first

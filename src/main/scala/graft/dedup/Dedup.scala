@@ -71,22 +71,46 @@ object Dedup {
       .select("id_a", "id_b", "overlap", "union_size")
   }
 
-  /** MinHash signatures: `numHashes` seeded xxhash64 functions over the
-    * shingle set; per doc and hash function keep the minimum. One
-    * explode + one aggregate — the signature never leaves the executor
-    * as raw shingles.
+  /** Prime modulus of the affine minhash family. */
+  val MinHashP: Long = 1000000007L
+
+  /** Engine-portable 60-bit shingle hash: md5 hex prefix parsed as an
+    * integer, reduced mod `MinHashP`. Chosen over `xxhash64` so an
+    * independent SQL engine (the DuckDB oracle) reproduces the EXACT
+    * same minhash values — the LSH output is verified by algorithm
+    * parity, not by recall luck.
+    */
+  private def shingleHash: Column =
+    pmod(
+      expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"),
+      lit(MinHashP)
+    )
+
+  /** The i-th affine minhash function: (a_i * H + b_i) mod P with
+    * small deterministic coefficients (exact in 64-bit integers).
+    */
+  private def affineMin(i: Int): Column =
+    min(pmod(lit(131L * i + 7L) * shingleHash + lit(1000003L * i + 12345L), lit(MinHashP)))
+
+  /** MinHash signatures: `numHashes` affine hash functions over the
+    * md5-derived shingle hash; per doc and hash function keep the
+    * minimum. One explode + one aggregate — the signature never leaves
+    * the executor as raw shingles. Returns (id, sig: array<bigint>).
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val hashes = (0 until numHashes).map { i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
-    }
-    sh.groupBy("id").agg(hashes.head, hashes.tail: _*)
+    val hashes = (0 until numHashes).map(i => affineMin(i).as(s"h$i"))
+    sh.groupBy("id")
+      .agg(hashes.head, hashes.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH candidate pairs: signatures split into `bands` bands
     * of `rowsPerBand` hashes; docs sharing any band bucket become
-    * candidates. Returns distinct (id_a < id_b) candidate pairs with
-    * the estimated jaccard (signature agreement fraction).
+    * candidates. The bucket key is the minhash slice itself (no second
+    * hash), so the whole pipeline is reproducible by any engine with
+    * md5 + integer arithmetic. Returns distinct (id_a < id_b)
+    * candidate pairs with the estimated jaccard (signature agreement
+    * fraction).
     */
   def minHashLsh(
       df: DataFrame,
@@ -102,8 +126,7 @@ object Dedup {
     val sig = minHashSignatures(sh, numHashes).cache()
 
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), hash(cols: _*).as("bucket"))
+      struct(lit(b).as("band"), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("bucket"))
     }
     val buckets = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
@@ -117,10 +140,10 @@ object Dedup {
       .distinct()
 
     // estimate jaccard from signature agreement
-    val sigA = sig.toDF(sig.columns.map(c => if (c == "id") "id_a" else c + "_a"): _*)
-    val sigB = sig.toDF(sig.columns.map(c => if (c == "id") "id_b" else c + "_b"): _*)
+    val sigA = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
     val agree = (0 until numHashes)
-      .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
       .reduce(_ + _)
     cand
       .join(sigA, "id_a")
