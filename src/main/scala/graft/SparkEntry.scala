@@ -632,6 +632,27 @@ object SparkEntry {
     "q51_embed_neardup_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       Ann.cosineNearDupPairsLsh(emb, threshold = 0.4, tables = 8, planes = 4)
+    }),
+
+    // ---- cleaning lifecycle with synthetic training tuples (steps
+    //      5+8 + M9/M10 gates; GBT decision -> rows-only check,
+    //      gate/flip semantics pinned in EnsembleSpec/CleaningSpec) ----
+    "q52_cleaning_synth" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true)
+      val detected = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      val labels = t(s, dir, "customer")
+        .filter(col("c_custkey") % 17 === 3 && col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("clean_value"))
+      graft.correct.Cleaning.run(
+        base,
+        "row_id",
+        Seq("nation", "decile", "segment"),
+        detected,
+        labels,
+        graft.correct.CleaningConfig(useMetaLearner = true, synthTuples = 20)
+      )
     })
   )
 

@@ -18,7 +18,13 @@ case class CleaningConfig(
     useValue: Boolean = true,
     nBestPdeps: Int = 3,
     useMetaLearner: Boolean = false,
-    metaMinLabels: Int = 10
+    metaMinLabels: Int = 10,
+    // reference steps 5+8: synthetic training cells drawn from
+    // error-free rows (0 = off), accepted per column by the M9/M10
+    // gates (`correction.py:474-493`, `:859-871`)
+    synthTuples: Int = 0,
+    synthGateThreshold: Double = 0.9,
+    synthSeed: Long = 42L
 )
 
 /** The reference's main entry point (`Cleaning.run`,
@@ -49,15 +55,57 @@ object Cleaning {
     * @param detected  error cells (row_id, col, error_value)
     * @param userLabels labeled clean values (row_id, col, clean_value)
     */
+  /** Reference step 5 (`draw_synth_error_positions`,
+    * `correction.py:474-493`): pick `n` rows WITHOUT any detected
+    * error and emit every cell of those rows as a synthetic error
+    * cell whose truth is the row's own (trusted) value. The
+    * reference uses `random.sample`; here the sample is a seeded
+    * xxhash64 rank — deterministic at any parallelism (SURVEY.md §7).
+    */
+  def drawSynthCells(
+      df: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      detected: DataFrame,
+      n: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    val errorRows = detected.select("row_id").distinct()
+    val picked = df
+      .select(col(rowId).as("row_id"))
+      .join(errorRows, Seq("row_id"), "left_anti")
+      .orderBy(xxhash64(col("row_id"), lit(seed)), col("row_id"))
+      .limit(n)
+    Cells
+      .melt(df, rowId, cols)
+      .join(broadcast(picked), "row_id")
+      .select(col("row_id"), col("col"), col("value").as("clean_value"))
+  }
+
   def run(
       df: DataFrame,
       rowId: String,
       cols: Seq[String],
       detected: DataFrame,
       userLabels: DataFrame,
-      cfg: CleaningConfig = CleaningConfig()
+      cfg: CleaningConfig = CleaningConfig(),
+      cache: Option[DataFrame] = None
   ): DataFrame = {
     val spark = df.sparkSession
+
+    // step 5: synthetic error cells from error-free rows. They ride
+    // the SAME corrector pass as the real errors (masked like errors
+    // — stricter than the reference, which lets a synthetic cell see
+    // its own value in the count models), and their suggestions are
+    // split off below as extra training pairs.
+    val synthCells =
+      if (cfg.synthTuples <= 0) None
+      else Some(drawSynthCells(df, rowId, cols, detected, cfg.synthTuples, cfg.synthSeed).cache())
+    val correctorErrors = synthCells match {
+      case Some(sc) =>
+        detected.unionByName(sc.select(col("row_id"), col("col"), col("clean_value").as("error_value")))
+      case None => detected
+    }
 
     // step 4: value models from labeled (error, correction) pairs
     val labeledPairs: Map[String, Seq[(String, String)]] =
@@ -73,43 +121,58 @@ object Cleaning {
           .map { case (c, xs) => c -> xs.map(_._2).toSeq }
 
     // step 6: in-engine FD mining + gpdep weights for the fd corrector
-    val suggestions = Seq(
+    val cacheSuggestions = cache.map(c => Correctors.cacheCorrector(detected, c))
+    val suggestions = (Seq(
       if (cfg.useFd) {
         val mined = Pdep
-          .mineFds(df, detected, rowId, cols)
+          .mineFds(df, correctorErrors, rowId, cols)
           .collect()
           .map(r => Fd(Seq(r.getString(0)), r.getString(1)))
           .toSeq
         if (mined.isEmpty) None
         else {
-          val gp = Pdep.gpdepTable(df, detected, rowId, mined)
-          Some(Correctors.fdCorrector(df, detected, rowId, gp, mined))
+          val gp = Pdep.gpdepTable(df, correctorErrors, rowId, mined)
+          Some(Correctors.fdCorrector(df, correctorErrors, rowId, gp, mined))
         }
       } else None,
-      if (cfg.useVicinity1) Some(Correctors.vicinityCorrectorOrder1(df, detected, rowId, cols)) else None,
-      if (cfg.useVicinity2) Some(Correctors.vicinityCorrectorOrder2(df, detected, rowId, cols)) else None,
+      if (cfg.useVicinity1) Some(Correctors.vicinityCorrectorOrder1(df, correctorErrors, rowId, cols)) else None,
+      if (cfg.useVicinity2) Some(Correctors.vicinityCorrectorOrder2(df, correctorErrors, rowId, cols)) else None,
       if (cfg.usePdepVicinity)
-        Some(Correctors.vicinityCorrectorPdep(df, detected, rowId, cols, cfg.nBestPdeps))
+        Some(Correctors.vicinityCorrectorPdep(df, correctorErrors, rowId, cols, cfg.nBestPdeps))
       else None,
-      if (cfg.useImputer) Some(Correctors.frequencyImputer(df, detected, rowId, cols)) else None,
+      if (cfg.useImputer) Some(Correctors.frequencyImputer(df, correctorErrors, rowId, cols)) else None,
       if (cfg.useValue && labeledPairs.nonEmpty) Some(Correctors.valueCorrector(detected, labeledPairs))
       else None
-    ).flatten match {
+    ).flatten ++ cacheSuggestions) match {
       case Nil => Correctors.emptySuggestions(spark)
       case xs  => xs.reduce(_ unionByName _)
     }
 
+    // synthetic-cell suggestions are training data, never output
+    val realSuggestions = synthCells match {
+      case Some(sc) => suggestions.join(sc.select("row_id", "col"), Seq("row_id", "col"), "left_anti")
+      case None     => suggestions
+    }
+
     // step 9: decision
     val decided =
-      if (!cfg.useMetaLearner) Correctors.decide(suggestions)
+      if (!cfg.useMetaLearner) Correctors.decide(realSuggestions)
       else {
         val correctorNames =
           suggestions.select("corrector").distinct().collect().map(_.getString(0)).sorted.toSeq
+        // M10 ET gate: columns where the cache corrector already hit a
+        // user label exclude synthetic pairs
+        val etCols = cacheSuggestions
+          .map(cs => MetaLearner.etGateColumns(cs, userLabels))
+          .getOrElse(Seq.empty)
         MetaLearner.trainPredict(
           MetaLearner.pairFeatures(suggestions, correctorNames),
           correctorNames,
           userLabels,
-          cfg.metaMinLabels
+          cfg.metaMinLabels,
+          synthLabeled = synthCells,
+          synthGateThreshold = cfg.synthGateThreshold,
+          etColumns = etCols
         )
       }
 

@@ -45,15 +45,30 @@ object MetaLearner {
   /** Train per column on the labeled cells, predict the unlabeled
     * cells; returns chosen corrections `(row_id, col, value)`.
     *
-    * @param features  (row_id, col, candidate, featureCols...)
-    * @param labeled   user labels (row_id, col, clean_value)
+    * Synthetic training data (reference step 8): when `synthLabeled`
+    * is given, its cells' pair features become extra training pairs
+    * labeled by the row's own trusted value — but only for columns
+    * that pass BOTH gates: the M10 ET gate (columns where a
+    * cache-backed corrector already hit a user label drop synth to
+    * not distort the classifier, `correction.py:859-861`) and the M9
+    * usefulness gate (`synthGate` below).
+    *
+    * @param features     (row_id, col, candidate, featureCols...) — may
+    *                     include the synthetic cells' features
+    * @param labeled      user labels (row_id, col, clean_value)
+    * @param synthLabeled synthetic truths (row_id, col, clean_value)
+    *                     on error-free rows
+    * @param etColumns    columns the M10 gate excludes from synth use
     */
   def trainPredict(
       features: DataFrame,
       featureCols: Seq[String],
       labeled: DataFrame,
       minLabels: Int = 10,
-      seed: Long = 42L
+      seed: Long = 42L,
+      synthLabeled: Option[DataFrame] = None,
+      synthGateThreshold: Double = 0.9,
+      etColumns: Seq[String] = Seq.empty
   ): DataFrame = {
     val featSum = featureCols.map(col).reduce(_ + _)
     val columns = features.select("col").distinct().collect().map(_.getString(0)).sorted
@@ -61,12 +76,32 @@ object MetaLearner {
     val perCol = columns.map { c =>
       val f = features.filter(col("col") === c)
       val lab = labeled.filter(col("col") === c).select(col("row_id"), col("clean_value"))
-      val train = f
+      val userTrain = f
         .join(lab, "row_id")
         .withColumn("label", (col("candidate") === col("clean_value")).cast("double"))
         .cache()
+      val synthLab = synthLabeled
+        .map(_.filter(col("col") === c).select(col("row_id"), col("clean_value")))
+      val synthTrain = synthLab.map { sl =>
+        f.join(sl, "row_id")
+          .withColumn("label", (col("candidate") === col("clean_value")).cast("double"))
+          .cache()
+      }
+      val useSynth = synthTrain.exists { st =>
+        !etColumns.contains(c) && synthGate(userTrain, st, featureCols, synthGateThreshold, seed)
+      }
+      val train = synthTrain match {
+        case Some(st) if useSynth => userTrain.unionByName(st)
+        case _                    => userTrain
+      }
       val classCounts = train.groupBy("label").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
-      val unlabeled = f.join(lab.select("row_id"), Seq("row_id"), "left_anti")
+      // predict only real unlabeled error cells: labeled rows are
+      // user-corrected, synthetic rows are not errors at all
+      val knownRows = synthLab match {
+        case Some(sl) => lab.select("row_id").unionByName(sl.select("row_id"))
+        case None     => lab.select("row_id")
+      }
+      val unlabeled = f.join(knownRows, Seq("row_id"), "left_anti")
 
       val decidedCol =
         if (classCounts.getOrElse(1.0, 0L) + classCounts.getOrElse(0.0, 0L) < minLabels || classCounts.size < 2) {
@@ -94,7 +129,8 @@ object MetaLearner {
             .filter(col("rn") === 1)
             .select(col("row_id"), lit(c).as("col"), col("candidate").as("value"))
         }
-      train.unpersist()
+      userTrain.unpersist()
+      synthTrain.foreach(_.unpersist())
       decidedCol
     }
     perCol.reduce(_ unionByName _)
@@ -115,16 +151,50 @@ object MetaLearner {
       .toSeq
       .sorted
 
-  /** M9 synth-usefulness gate (reference `src/ml_helpers.py:170-235`):
-    * accept synthetic training data iff corrections decided from it
-    * reach `threshold` F1 against the user labels.
+  /** M9 synth-usefulness gate (reference `src/ml_helpers.py:170-235`,
+    * direction `user_data`): train the pair classifier on the
+    * SYNTHETIC pairs alone and binary-predict the user-labeled pairs;
+    * synthetic data is accepted iff the F1 of those predictions
+    * reaches `threshold` — i.e. the synthetic pair distribution
+    * transfers to the user-labeled one. Edge cases follow
+    * `handle_edge_cases` (`ml_helpers.py:81-108`): no synthetic pairs
+    * or a single synthetic class -> reject; synthetic pairs but no
+    * user pairs -> accept (the unsupervised-cleaning case, which the
+    * reference scores 1.0).
+    *
+    * Both inputs are pair relations (featureCols..., label) bounded by
+    * budget x candidates — `fit` runs on tiny data.
     */
-  def synthGate(synthDecided: DataFrame, labeled: DataFrame, threshold: Double = 0.9): Boolean = {
-    val f1 = Correctors
-      .evaluateDF(synthDecided, labeled)
-      .select(col("ec_f"))
+  def synthGate(
+      userTrain: DataFrame,
+      synthTrain: DataFrame,
+      featureCols: Seq[String],
+      threshold: Double = 0.9,
+      seed: Long = 42L
+  ): Boolean = {
+    if (synthTrain.isEmpty) return false
+    if (userTrain.isEmpty) return true
+    val synthClasses = synthTrain.select("label").distinct().count()
+    if (synthClasses < 2) return false
+
+    val assembler = new VectorAssembler().setInputCols(featureCols.toArray).setOutputCol("fvec")
+    val gbt = new GBTClassifier()
+      .setFeaturesCol("fvec")
+      .setLabelCol("label")
+      .setMaxIter(10)
+      .setMaxDepth(3)
+      .setSeed(seed)
+    val model = gbt.fit(assembler.transform(synthTrain))
+    val agg = model
+      .transform(assembler.transform(userTrain))
+      .agg(
+        sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
+        sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
+        sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1).otherwise(0)).as("fn")
+      )
       .head()
-      .getDouble(0)
+    val (tp, fp, fn) = (agg.getLong(0).toDouble, agg.getLong(1).toDouble, agg.getLong(2).toDouble)
+    val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
     f1 >= threshold
   }
 }

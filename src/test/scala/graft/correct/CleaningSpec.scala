@@ -56,6 +56,35 @@ class CleaningSpec extends SparkSpec {
     assert(repaired.except(clean).isEmpty && clean.except(repaired).isEmpty)
   }
 
+  test("synthetic tuples ride the lifecycle: no synth-cell output, repairs intact") {
+    // a larger Tier->Sagt FD table so synthetic rows exist to draw
+    // from; the meta-learner with synthetic training pairs must still
+    // repair the real errors and must never emit corrections for the
+    // synthetic cells themselves
+    val cols = Seq("Tier", "Sagt")
+    val animals = Seq("Hund" -> "wau", "Katze" -> "miau", "Kuh" -> "muh")
+    val clean = (1L to 60L)
+      .map(i => (i, animals((i % 3).toInt)._1, animals((i % 3).toInt)._2))
+      .toDF("row_id" +: cols: _*)
+    val dirty = clean
+      .withColumn("Sagt", when(col("row_id") % 10 === 2, lit("?")).otherwise(col("Sagt")))
+
+    val detected = detect(dirty, clean, cols)
+    val labels = clean
+      .filter(col("row_id") % 10 === 2 && col("row_id") <= 22)
+      .select(col("row_id"), lit("Sagt").as("col"), col("Sagt").as("clean_value"))
+
+    val cfg = CleaningConfig(useMetaLearner = true, metaMinLabels = 4, synthTuples = 10)
+    val corrections = Cleaning.run(dirty, "row_id", cols, detected, labels, cfg).cache()
+
+    // only detected cells are corrected, never synthetic ones
+    val outCells = corrections.select("row_id", "col")
+    assert(outCells.except(detected.select("row_id", "col")).isEmpty)
+
+    val m = Correctors.evaluate(corrections, actualErrors(dirty, clean, cols))
+    assert(m("ec_f") == 1.0, s"expected perfect repair, got $m")
+  }
+
   test("toy fixture: overlay wins on labeled cells, value replay fixes the unlabeled near-dup") {
     val cols = Seq("ID", "Lord", "Kingdom")
     val clean = Seq(

@@ -189,6 +189,113 @@ class EnsembleSpec extends SparkSpec {
     assert(out.values.forall(_ == "good"))
   }
 
+  test("M9 synth gate: accepted synthetic pairs flip the decision past the label guard") {
+    // real error cells 1..10: c_bad scores a wrong candidate 0.9,
+    // c_good scores the true candidate 0.6 -> A13 feature-sum picks
+    // wrong. Only 4 user labels (8 pairs < minLabels) -> without
+    // synthetic data the guard forces A13. The 20 synthetic rows
+    // repeat the pattern with known truths; a model trained on them
+    // reproduces the user pairs (gate F1 = 1.0 >= 0.9), so they are
+    // accepted, the guard passes, and the learner flips to c_good.
+    def pairs(rs: Range) = rs.flatMap { r =>
+      Seq(
+        Suggestion(r.toLong, "seg", "c_good", s"T$r", 0.6),
+        Suggestion(r.toLong, "seg", "c_bad", s"F$r", 0.9)
+      )
+    }
+    val realSugg = pairs(1 to 10).toDF()
+    val allSugg = (pairs(1 to 10) ++ pairs(101 to 120)).toDF()
+    val labeled = (1 to 4).map(r => (r.toLong, "seg", s"T$r")).toDF("row_id", "col", "clean_value")
+    val synthTrue = (101 to 120).map(r => (r.toLong, "seg", s"T$r")).toDF("row_id", "col", "clean_value")
+
+    val without = MetaLearner
+      .trainPredict(MetaLearner.pairFeatures(realSugg, Seq("c_bad", "c_good")), Seq("c_bad", "c_good"), labeled, minLabels = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .toMap
+    assert((5L to 10L).forall(r => without(r) == s"F$r"), s"expected A13 fallback, got $without")
+
+    val withSynth = MetaLearner
+      .trainPredict(
+        MetaLearner.pairFeatures(allSugg, Seq("c_bad", "c_good")),
+        Seq("c_bad", "c_good"),
+        labeled,
+        minLabels = 10,
+        synthLabeled = Some(synthTrue)
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .toMap
+    assert(withSynth.keySet == (5L to 10L).toSet, "synthetic cells must never receive corrections")
+    assert((5L to 10L).forall(r => withSynth(r) == s"T$r"), s"expected synth-trained flip, got $withSynth")
+  }
+
+  test("M9 synth gate rejects distribution-mismatched synthetic pairs") {
+    // identical features, but the synthetic truths are INVERTED: a
+    // model trained on them contradicts the user labels (gate F1 = 0)
+    // -> synth rejected -> label guard falls back to A13 (wrong
+    // candidate), proving the gate, not the extra data volume, made
+    // the difference in the accept case.
+    def pairs(rs: Range) = rs.flatMap { r =>
+      Seq(
+        Suggestion(r.toLong, "seg", "c_good", s"T$r", 0.6),
+        Suggestion(r.toLong, "seg", "c_bad", s"F$r", 0.9)
+      )
+    }
+    val allSugg = (pairs(1 to 10) ++ pairs(101 to 120)).toDF()
+    val labeled = (1 to 4).map(r => (r.toLong, "seg", s"T$r")).toDF("row_id", "col", "clean_value")
+    val synthInverted = (101 to 120).map(r => (r.toLong, "seg", s"F$r")).toDF("row_id", "col", "clean_value")
+    val out = MetaLearner
+      .trainPredict(
+        MetaLearner.pairFeatures(allSugg, Seq("c_bad", "c_good")),
+        Seq("c_bad", "c_good"),
+        labeled,
+        minLabels = 10,
+        synthLabeled = Some(synthInverted)
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .toMap
+    assert(out.keySet == (5L to 10L).toSet)
+    assert((5L to 10L).forall(r => out(r) == s"F$r"), s"expected gate rejection + A13, got $out")
+  }
+
+  test("M10 ET gate drops synthetic pairs for columns the cache corrector already solved") {
+    // same accept-ready synthetic data, but the column is ET-gated ->
+    // synth dropped -> A13 fallback again
+    def pairs(rs: Range) = rs.flatMap { r =>
+      Seq(
+        Suggestion(r.toLong, "seg", "c_good", s"T$r", 0.6),
+        Suggestion(r.toLong, "seg", "c_bad", s"F$r", 0.9)
+      )
+    }
+    val allSugg = (pairs(1 to 10) ++ pairs(101 to 120)).toDF()
+    val labeled = (1 to 4).map(r => (r.toLong, "seg", s"T$r")).toDF("row_id", "col", "clean_value")
+    val synthTrue = (101 to 120).map(r => (r.toLong, "seg", s"T$r")).toDF("row_id", "col", "clean_value")
+    val out = MetaLearner
+      .trainPredict(
+        MetaLearner.pairFeatures(allSugg, Seq("c_bad", "c_good")),
+        Seq("c_bad", "c_good"),
+        labeled,
+        minLabels = 10,
+        synthLabeled = Some(synthTrue),
+        etColumns = Seq("seg")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .toMap
+    assert((5L to 10L).forall(r => out(r) == s"F$r"), s"expected ET-gated A13, got $out")
+  }
+
+  test("etGateColumns flags exactly the columns where cache suggestions hit user labels") {
+    val cacheSugg = Seq(
+      Suggestion(1L, "seg", "llm_correction", "GOOD", 0.9),
+      Suggestion(2L, "other", "llm_correction", "X", 0.9)
+    ).toDF()
+    val labeled = Seq((1L, "seg", "GOOD"), (2L, "other", "Y")).toDF("row_id", "col", "clean_value")
+    assert(MetaLearner.etGateColumns(cacheSugg, labeled) == Seq("seg"))
+  }
+
   test("vicinityCorrectorPdep keeps only the n-best gpdep deps") {
     // l1 determines r perfectly (high gpdep); l2 is constant (no
     // dependency) — with nBest=1 only l1 survives
