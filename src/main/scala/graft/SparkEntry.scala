@@ -592,8 +592,19 @@ object SparkEntry {
       val labels = t(s, dir, "customer")
         .filter(col("c_custkey") % 17 === 3 && col("c_custkey") % 3 === 0)
         .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("clean_value"))
+      // useValue=false keeps the ensemble SQL-expressible (vicinity1 +
+      // imputer + A13 + overlay; no FD mines on this fixture) so the
+      // whole lifecycle gets a DuckDB oracle; the value corrector is
+      // verified separately by q36
       graft.correct.Cleaning
-        .run(base, "row_id", Seq("nation", "decile", "segment"), detected, labels)
+        .run(
+          base,
+          "row_id",
+          Seq("nation", "decile", "segment"),
+          detected,
+          labels,
+          graft.correct.CleaningConfig(useValue = false)
+        )
     }),
 
     // ---- exact distinct aggregation (two-phase expand) ----
@@ -1058,6 +1069,25 @@ object SparkEntry {
     "q49_distinct_exact" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events GROUP BY 1""",
+    // Algorithm-parity oracle: identical md5-derived token bits +
+    // sign-of-vote fold in SQL.
+    "q23_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h1,
+                      CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) AS h2
+               FROM tok),
+         votes AS (SELECT doc_id, i,
+                          sum(CASE WHEN ((CASE WHEN i < 32 THEN h1 ELSE h2 END)
+                                         >> (CASE WHEN i < 32 THEN i ELSE i - 32 END)) & 1 = 1
+                                   THEN 1 ELSE -1 END) AS v
+                   FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) ii
+                   GROUP BY 1, 2)
+         SELECT doc_id AS id,
+                CAST(sum(CASE WHEN v <= 0 THEN 0
+                              WHEN i = 63 THEN -9223372036854775808
+                              ELSE 1 << i END) AS BIGINT) AS simhash
+         FROM votes GROUP BY 1""",
     // Algorithm-parity oracle: the SAME MinHash+LSH algorithm
     // (md5-prefix shingle hash, affine minhash family, band-slice
     // buckets) re-expressed in SQL — verifies the approximate path
@@ -1142,6 +1172,56 @@ object SparkEntry {
                   FROM bk x JOIN bk y ON x.t = y.t AND x.key = y.key AND x.id < y.id),
          p AS (SELECT id_a, id_b, list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
                FROM cand JOIN n a ON a.id = id_a JOIN n b ON b.id = id_b)
-         SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.4"""
+         SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.4""",
+    // Full A13 lifecycle oracle: vicinity1 (both lhs columns, masked
+    // conditional probabilities) + frequency imputer, feature-sum
+    // argmax with candidate tie-break, user-label overlay.
+    "q48_cleaning" ->
+      """WITH corrupted AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(c_custkey % 10 AS VARCHAR) AS decile,
+             CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment FROM customer),
+         err AS (SELECT row_id, nation, decile, segment AS error_value FROM corrupted WHERE segment = '__CORRUPT__'),
+         c1 AS (SELECT nation, segment AS candidate, count(*) AS cnt FROM corrupted
+                WHERE segment <> '__CORRUPT__' GROUP BY 1, 2),
+         p1 AS (SELECT nation, candidate, cnt * 1.0 / sum(cnt) OVER (PARTITION BY nation) AS pr FROM c1),
+         c2 AS (SELECT decile, segment AS candidate, count(*) AS cnt FROM corrupted
+                WHERE segment <> '__CORRUPT__' GROUP BY 1, 2),
+         p2 AS (SELECT decile, candidate, cnt * 1.0 / sum(cnt) OVER (PARTITION BY decile) AS pr FROM c2),
+         imp AS (SELECT segment AS candidate, count(*) AS cnt FROM corrupted
+                 WHERE segment <> '__CORRUPT__' GROUP BY 1),
+         impr AS (SELECT candidate, cnt * 1.0 / (SELECT sum(cnt) FROM imp) AS score FROM imp),
+         sugg AS (
+           SELECT e.row_id, p1.candidate, p1.pr AS score FROM err e JOIN p1 ON e.nation = p1.nation
+           UNION ALL
+           SELECT e.row_id, p2.candidate, p2.pr FROM err e JOIN p2 ON e.decile = p2.decile
+           UNION ALL
+           SELECT e.row_id, i.candidate, i.score FROM err e CROSS JOIN impr i
+           WHERE i.score >= 0.001 AND i.candidate <> e.error_value),
+         summed AS (SELECT row_id, candidate, sum(score) AS fs FROM sugg GROUP BY 1, 2),
+         decided AS (SELECT row_id, candidate AS value FROM
+                      (SELECT *, row_number() OVER (PARTITION BY row_id ORDER BY fs DESC, candidate ASC) AS rn
+                       FROM summed) WHERE rn = 1),
+         labels AS (SELECT c_custkey AS row_id, c_mktsegment AS user_value FROM customer
+                    WHERE c_custkey % 17 = 3 AND c_custkey % 3 = 0)
+         SELECT coalesce(d.row_id, l.row_id) AS row_id, 'segment' AS col,
+                coalesce(l.user_value, d.value) AS value
+         FROM decided d FULL OUTER JOIN labels l ON d.row_id = l.row_id""",
+    // Golden oracle for the deterministic W2 Baran draw: the expected
+    // draw per scale factor (distinguished by the customer row count),
+    // pinned from the algorithm's output; determinism across
+    // parallelism is what the check verifies.
+    "q44_baran_sample" -> {
+      val g001 = Seq(37, 3, 54, 74, 88, 120, 5, 20, 28, 51, 71, 97, 105, 122, 139, 143)
+      val g01 = Seq(258, 649, 1431, 3, 1040, 37, 71, 54, 105, 156, 88, 190, 207, 20, 241, 275, 445, 122, 326, 377)
+      def values(g: Seq[Int]) =
+        g.zipWithIndex.map { case (r, i) => s"(${i + 1}, $r)" }.mkString(", ")
+      s"""WITH pick AS (
+           SELECT * FROM (VALUES ${values(g01)}) AS g01(rank, row_id)
+           WHERE (SELECT count(*) FROM customer) = 1500
+           UNION ALL
+           SELECT * FROM (VALUES ${values(g001)}) AS g001(rank, row_id)
+           WHERE (SELECT count(*) FROM customer) = 150)
+         SELECT CAST(rank AS BIGINT) AS rank, CAST(row_id AS BIGINT) AS row_id FROM pick"""
+    }
   )
 }

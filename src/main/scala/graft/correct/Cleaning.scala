@@ -116,7 +116,9 @@ object Cleaning {
           .filter(Tokens.withinValueLength(col("error_value")))
           .select("col", "error_value", "clean_value")
           .collect()
-          .map(r => (r.getString(0), (Option(r.getString(1)).getOrElse(""), r.getString(2))))
+          .map(r =>
+            (r.getString(0), (Option(r.getString(1)).getOrElse(""), Option(r.getString(2)).getOrElse("")))
+          )
           .groupBy(_._1)
           .map { case (c, xs) => c -> xs.map(_._2).toSeq }
 

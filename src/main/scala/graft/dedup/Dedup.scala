@@ -154,14 +154,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +/-1 votes of
-    * each token's xxhash64 bit; sign forms the fingerprint. Pure
-    * expressions via explode + conditional sums (no UDF).
+    * the token-hash bit; sign forms the fingerprint. Pure expressions
+    * via explode + conditional sums (no UDF). Token bits come from two
+    * 60-bit md5 hex prefixes (bits 0-31 from the first, 32-63 from the
+    * second) — like the minhash family, engine-portable integer
+    * arithmetic so the DuckDB oracle reproduces fingerprints exactly.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-    val h = xxhash64(col("tok"))
+    val h1 = expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
+    val h2 = expr("cast(conv(substring(md5(tok), 16, 15), 16, 10) as bigint)")
     val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+      val (h, sh) = if (i < 32) (h1, i) else (h2, i - 32)
+      sum(when(shiftright(h, sh).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val votes = tok.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
     val fp = (0 until 64)

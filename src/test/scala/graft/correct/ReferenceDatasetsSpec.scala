@@ -1,0 +1,70 @@
+package graft.correct
+
+import graft.SparkSpec
+import graft.sources.StringCsv
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E2E F1 parity on the reference's own benchmark datasets
+  * (`/root/reference/datasets/{beers,flights,hospital}` — the §5 test
+  * strategy): perfect-oracle detection, a 20-tuple labeling budget
+  * drawn with the W2 Baran sampler, the deterministic ensemble
+  * (fd + vicinity + pdep-vicinity + imputer + value), A13 decision,
+  * user-label overlay — then cell-exact correction F1 against the
+  * clean table.
+  *
+  * Reference figures (BASELINE.md): beers 0.959, flights 0.657,
+  * hospital 0.960 — measured WITH the GPT-backed correctors. Floors
+  * below pin what the deterministic (LLM-free) ensemble reaches on
+  * the same data — measured 2026-08-17: beers 0.544 (0.587 with the
+  * meta-learner; the ref number rides the LLM members on this
+  * dataset), flights 0.929 (ABOVE the reference), hospital 0.916.
+  * Full numbers in BASELINE.md "Reference-dataset F1 parity".
+  */
+class ReferenceDatasetsSpec extends SparkSpec {
+
+  private val root = "/root/reference/datasets"
+
+  /** Load a dataset as (dirty, clean, rowId, valueCols). */
+  private def load(name: String, idCol: String): (DataFrame, DataFrame, Seq[String]) = {
+    val clean = StringCsv.read(spark, s"$root/$name/clean.csv")
+    val dirty = StringCsv.read(spark, s"$root/$name/dirty.csv")
+    val cols = clean.columns.filterNot(_ == idCol).toSeq
+    // the reference's dataframes hold missing values as "" — CSV rows
+    // with absent trailing fields parse as null, so normalize
+    def withId(df: DataFrame) =
+      df.na.fill("").withColumn("row_id", col(idCol).cast("long")).drop(idCol)
+    (withId(dirty), withId(clean), cols)
+  }
+
+  private def runEnsemble(name: String, idCol: String, budget: Int = 20): Double = {
+    val (dirty, clean, cols) = load(name, idCol)
+    val diff = Cells.cellDiff(dirty, clean, "row_id", cols).cache()
+    val detected = diff.select(col("row_id"), col("col"), col("dirty_value").as("error_value"))
+    val actual = diff.select(col("row_id"), col("col"), col("clean_value"))
+
+    // 20-tuple labeling budget, W2 Baran draw; labels = clean values
+    // of every error cell in the drawn rows (the reference labels
+    // whole tuples)
+    val rows = Correctors.baranSample(detected, budget)
+    val labels = actual.filter(col("row_id").isin(rows: _*))
+
+    val cfg = CleaningConfig(usePdepVicinity = true, useVicinity2 = false)
+    val corrections = Cleaning.run(dirty, "row_id", cols, detected, labels, cfg)
+    val f1 = Correctors.evaluate(corrections, actual)("ec_f")
+    info(s"$name deterministic-ensemble F1 = $f1 (budget $budget)")
+    f1
+  }
+
+  test("beers: deterministic ensemble F1 at its pinned level") {
+    assert(runEnsemble("beers", "index") >= 0.50)
+  }
+
+  test("flights: deterministic ensemble F1 beats the reference figure") {
+    assert(runEnsemble("flights", "tuple_id") >= 0.657)
+  }
+
+  test("hospital: deterministic ensemble F1 within 0.05 of the reference") {
+    assert(runEnsemble("hospital", "index") >= 0.90)
+  }
+}
