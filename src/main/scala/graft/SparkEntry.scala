@@ -664,6 +664,43 @@ object SparkEntry {
         labels,
         graft.correct.CleaningConfig(useMetaLearner = true, synthTuples = 20)
       )
+    }),
+
+    // ---- S7 imperfect-detection source: externally produced JSON
+    //      error mask -> standard error-cell relation ----
+    "q53_detection_mask" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true)
+      // simulated detector output: misses every 5th true error, adds
+      // %29 false positives; positions are (row_id, column index)
+      val positions = base
+        .filter(
+          (col("row_id") % 17 === 3 && col("row_id") % 5 =!= 0) || col("row_id") % 29 === 11
+        )
+        .select(col("row_id"))
+        .distinct()
+        .collect()
+        .map(r => (r.getLong(0), 2)) // segment is column 2 of (nation, decile, segment)
+        .toSeq
+        .sortBy(_._1)
+      val maskDir = "/tmp/graft_q53_masks"
+      graft.snapshot.SnapshotStore.deleteRecursively(maskDir)
+      graft.sources.DetectionMasks.write(maskDir, "customer", 1L, positions)
+      graft.sources.DetectionMasks
+        .read(s, maskDir, "customer", 1L, base, "row_id", Seq("nation", "decile", "segment"))
+    }),
+
+    // ---- label-noise knob: ground-truth labeling with simulated
+    //      defective user input ----
+    "q54_label_noise" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = false)
+      val rows = base
+        .filter(col("row_id") % 13 === 1)
+        .select("row_id")
+        .collect()
+        .map(_.getLong(0))
+        .toSeq
+      graft.correct.Labeling
+        .labelWithGroundTruth(base, "row_id", Seq("nation", "decile", "segment"), rows, noisePct = 0.2, seed = 7L)
     })
   )
 
@@ -1222,6 +1259,35 @@ object SparkEntry {
            SELECT * FROM (VALUES ${values(g001)}) AS g001(rank, row_id)
            WHERE (SELECT count(*) FROM customer) = 150)
          SELECT CAST(rank AS BIGINT) AS rank, CAST(row_id AS BIGINT) AS row_id FROM pick"""
-    }
+    },
+    // The mask lists exactly these positions; the oracle re-derives
+    // them from the generation rule, independently of the JSON file.
+    "q53_detection_mask" ->
+      """WITH corrupted AS (SELECT c_custkey AS row_id,
+             CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment FROM customer)
+         SELECT row_id, 'segment' AS col, segment AS error_value FROM corrupted
+         WHERE (row_id % 17 = 3 AND row_id % 5 <> 0) OR row_id % 29 = 11""",
+    // Algorithm-parity oracle: identical md5 slip draw + cyclic
+    // next-distinct-value pick in SQL.
+    "q54_label_noise" ->
+      """WITH base AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(c_custkey % 10 AS VARCHAR) AS decile, c_mktsegment AS segment FROM customer),
+         cells AS (
+           SELECT row_id, 'nation' AS col, nation AS value FROM base
+           UNION ALL SELECT row_id, 'decile', decile FROM base
+           UNION ALL SELECT row_id, 'segment', segment FROM base),
+         dv AS (SELECT DISTINCT col, value FROM cells),
+         dvr AS (SELECT col, value,
+                        row_number() OVER (PARTITION BY col ORDER BY value) AS rk,
+                        count(*) OVER (PARTITION BY col) AS n
+                 FROM dv),
+         succ AS (SELECT a.col, a.value, b.value AS next_value, a.n
+                  FROM dvr a JOIN dvr b ON a.col = b.col AND b.rk = a.rk % a.n + 1),
+         lab AS (SELECT * FROM cells WHERE row_id % 13 = 1)
+         SELECT c.row_id, c.col,
+                CASE WHEN CAST(('0x' || substr(md5(CAST(c.row_id AS VARCHAR) || '|' || c.col || '|' || '7'), 1, 15)) AS BIGINT) % 10000 < 2000
+                          AND s.n > 1
+                     THEN s.next_value ELSE c.value END AS clean_value
+         FROM lab c JOIN succ s ON s.col = c.col AND s.value = c.value"""
   )
 }

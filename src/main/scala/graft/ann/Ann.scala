@@ -79,31 +79,31 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d component
-    * from a 31-bit LCG over the (p, d) index, scaled to [-1, 1).
+  /** Deterministic pseudo-random hyperplane for plane p: component d
+    * is a 31-bit LCG over the (p, d) index, scaled to [-1, 1).
     * Integer arithmetic only (then one exact power-of-two division),
     * so any SQL engine reproduces the planes bit-for-bit — the LSH
-    * oracle checks algorithm parity, not recall luck.
+    * oracle checks algorithm parity, not recall luck. Materialized as
+    * a LITERAL array at plan-build time: the per-element formula in
+    * the expression tree made a 32-table bucket computation pay
+    * seconds of analysis/codegen for microseconds of arithmetic.
     */
-  private def planeComponent(p: Int, d: Column): Column = {
-    val h = pmod((lit(131L * p) + d) * lit(1103515245L) + lit(12345L), lit(2147483648L))
-    (h.cast("double") / lit(1073741824.0)) - lit(1.0)
-  }
+  private def planeVector(p: Int, maxDim: Int = 512): Column =
+    lit(Array.tabulate(maxDim) { d =>
+      val h = ((131L * p + d) * 1103515245L + 12345L) % 2147483648L
+      h.toDouble / 1073741824.0 - 1.0
+    })
 
   /** Sign signature of an embedding under `planes` hyperplanes, as an
     * integer bucket key. `table` selects an independent plane family
     * (global plane index = table * planes + j). The embedding must
-    * already be array<double>.
+    * already be array<double> (dim <= 512).
     */
   def lshBucket(emb: Column, planes: Int, table: Int = 0): Column = {
     val bits = (0 until planes).map { j =>
       val p = table * planes + j
       val proj = aggregate(
-        zip_with(
-          emb,
-          sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)
-        ),
+        zip_with(emb, slice(planeVector(p), lit(1), size(emb)), (x, c) => x * c),
         lit(0.0),
         (acc, x) => acc + x
       )
@@ -112,16 +112,43 @@ object Ann {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** All `tables * planes` hyperplane projections of an embedding in
+    * ONE higher-order-function pass over a literal plane matrix —
+    * tables x planes separate aggregate expressions made Catalyst
+    * analysis/codegen the dominant cost of small bucket jobs.
+    */
+  private def allProjections(emb: Column, tables: Int, planes: Int, maxDim: Int = 512): Column = {
+    val matrix = lit(Array.tabulate(tables * planes, maxDim) { (p, d) =>
+      val h = ((131L * p + d) * 1103515245L + 12345L) % 2147483648L
+      h.toDouble / 1073741824.0 - 1.0
+    })
+    transform(
+      sequence(lit(0), lit(tables * planes - 1)),
+      p =>
+        aggregate(
+          zip_with(emb, slice(element_at(matrix, p + 1), lit(1), size(emb)), (x, c) => x * c),
+          lit(0.0),
+          (acc, x) => acc + x
+        )
+    )
+  }
+
   /** (id, tb, key) bucket relation over `tables` independent LSH
     * tables — the shuffle-friendly candidate-generation shape: keys,
     * never pairs, cross the wire.
     */
-  private def bucketRelation(df: DataFrame, idName: String, tables: Int, planes: Int): DataFrame =
-    df.select(
-      col(idName),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tb"), lshBucket(col("embedding"), planes, t).as("key"))): _*)).as("bk")
-    ).select(col(idName), col("bk.tb").as("tb"), col("bk.key").as("key"))
+  private def bucketRelation(df: DataFrame, idName: String, tables: Int, planes: Int): DataFrame = {
+    val withProj = df.select(col(idName), allProjections(col("embedding"), tables, planes).as("__proj"))
+    val keys = (0 until tables).map { t =>
+      val bits = (0 until planes).map { j =>
+        when(element_at(col("__proj"), t * planes + j + 1) >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
+      }
+      struct(lit(t).as("tb"), bits.reduce(_.bitwiseOR(_)).as("key"))
+    }
+    withProj
+      .select(col(idName), explode(array(keys: _*)).as("bk"))
+      .select(col(idName), col("bk.tb").as("tb"), col("bk.key").as("key"))
+  }
 
   /** Multi-table LSH approximate top-k: `tables` independent sign-
     * bucket tables of `planes` hyperplanes each; a (query, doc) pair
@@ -181,11 +208,8 @@ object Ann {
     val withNorm = emb
       .select(col("id"), asDouble.as("emb"), norm(asDouble).as("nrm"))
       .cache()
-    val bucketed = withNorm.select(
-      col("id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tb"), lshBucket(col("emb"), planes, t).as("key"))): _*)).as("bk")
-    ).select(col("id"), col("bk.tb").as("tb"), col("bk.key").as("key"))
+    val bucketed =
+      bucketRelation(withNorm.select(col("id"), col("emb").as("embedding")), "id", tables, planes)
 
     val cand = bucketed
       .as("x")

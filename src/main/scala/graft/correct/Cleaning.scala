@@ -150,6 +150,10 @@ object Cleaning {
       case xs  => xs.reduce(_ unionByName _)
     }
 
+    // the suggestion union feeds several consumers (corrector-name
+    // scan, pivot, A13) — cache it once
+    suggestions.cache()
+
     // synthetic-cell suggestions are training data, never output
     val realSuggestions = synthCells match {
       case Some(sc) => suggestions.join(sc.select("row_id", "col"), Seq("row_id", "col"), "left_anti")

@@ -71,10 +71,21 @@ object MetaLearner {
       etColumns: Seq[String] = Seq.empty
   ): DataFrame = {
     val featSum = featureCols.map(col).reduce(_ + _)
-    val columns = features.select("col").distinct().collect().map(_.getString(0)).sorted
+    // the pivot is consumed by many actions per column (class counts,
+    // gate, fit, transform) — cache once or every action replays the
+    // whole suggestion-union DAG
+    val feats = features.cache()
+    // iterate the reference's `columns_with_errors`: columns with REAL
+    // error cells — synthetic cells exist only to supply training
+    // pairs and must not spawn per-column training loops of their own
+    val realCells = synthLabeled match {
+      case Some(sl) => feats.join(sl.select("row_id", "col"), Seq("row_id", "col"), "left_anti")
+      case None     => feats
+    }
+    val columns = realCells.select("col").distinct().collect().map(_.getString(0)).sorted
 
     val perCol = columns.map { c =>
-      val f = features.filter(col("col") === c)
+      val f = feats.filter(col("col") === c)
       val lab = labeled.filter(col("col") === c).select(col("row_id"), col("clean_value"))
       val userTrain = f
         .join(lab, "row_id")
@@ -133,7 +144,11 @@ object MetaLearner {
       synthTrain.foreach(_.unpersist())
       decidedCol
     }
-    perCol.reduce(_ unionByName _)
+    // materialize results before releasing the pivot cache
+    val out = perCol.reduce(_ unionByName _).cache()
+    out.count()
+    feats.unpersist()
+    out
   }
 
   /** M10 ET-gate (reference `src/helpers.py:123-138`): columns where a

@@ -151,6 +151,9 @@ object ContinuousRollup {
     val lineageRows = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long)]()
     val t0 = System.nanoTime()
 
+    // one scan + one prepare feeds all four tier recomputes
+    allRows.cache()
+
     Tiers.All.foreach { tier =>
       val touched = newRows.select(partKeyOfPoint(tsCol, tier).as("part_key")).distinct()
       val affected = allRows
@@ -190,6 +193,7 @@ object ContinuousRollup {
       .mode("append")
       .parquet(s"$tiersRoot/_metrics")
 
+    allRows.unpersist()
     writeApplied(tiersRoot, to)
     to
   }
