@@ -164,8 +164,20 @@ object Correctors {
     * pair, mined in one melt + one self-join on row_id + one hash
     * aggregate. Error cells are excluded at cell granularity (either
     * side), matching the reference's per-cell masking.
+    *
+    * SCALE BOUNDARY: the self-join materializes O(rows x cols^2)
+    * pairs — sized for correction tables (the reference's are <= 20
+    * columns x 10^4..10^6 rows), NOT for the web-page table. Wide or
+    * web-scale inputs must use a projected per-FD count model
+    * (`Pdep.fdCounts`) or the single-scan page model
+    * (`PagePipeline.repair`); the guard makes the boundary explicit.
     */
   def allCounts(df: DataFrame, errors: DataFrame, rowId: String, cols: Seq[String]): DataFrame = {
+    require(
+      cols.size <= 64,
+      s"allCounts is O(rows*cols^2) by design (correction-table sized); got ${cols.size} columns — " +
+        "use Pdep.fdCounts projections or the pages single-scan model at this width"
+    )
     val masked = Cells
       .melt(df, rowId, cols)
       .join(errors.select("row_id", "col"), Seq("row_id", "col"), "left_anti")
@@ -182,8 +194,15 @@ object Correctors {
     * cell-masked counts keyed by an UNORDERED lhs column pair plus a
     * rhs column. One melt + a 3-way self-join on row_id + one hash
     * aggregate; lhs_col_a < lhs_col_b de-duplicates combinations.
+    *
+    * SCALE BOUNDARY: O(rows x cols^3) pairs — see `allCounts`; the
+    * tighter guard reflects the cubic blowup.
     */
   def allCountsOrder2(df: DataFrame, errors: DataFrame, rowId: String, cols: Seq[String]): DataFrame = {
+    require(
+      cols.size <= 32,
+      s"allCountsOrder2 is O(rows*cols^3) by design (correction-table sized); got ${cols.size} columns"
+    )
     val masked = Cells
       .melt(df, rowId, cols)
       .join(errors.select("row_id", "col"), Seq("row_id", "col"), "left_anti")

@@ -162,12 +162,16 @@ object ContinuousRollup {
       // cluster rows by their output partition before the partitioned
       // write: otherwise every shuffle task holds rows of every
       // part_key and the write fans out |tasks| × |partitions| tiny
-      // files (at any scale, one writer task per partition is the
-      // layout the next reader wants)
+      // files. Range-partitioning on (part_key, series) instead of
+      // hash-on-part_key keeps the clustering AND splits a hot
+      // partition (e.g. one day holding most of a Zipf-skewed
+      // domain's points) across multiple writer tasks by series
+      // range — no single-writer bottleneck, file count still
+      // bounded by the range bucket count
       val recomputed = Rollup
         .fromRaw(affected, series, tsCol, tier, sizeCol, langCol = langCol)
         .withColumn("part_key", partKeyOfBucket(tier))
-        .repartition(col("part_key"))
+        .repartitionByRange((col("part_key") +: series.map(col)): _*)
       val path = tierPath(tiersRoot, tier)
       val exists = Files.exists(Paths.get(path))
       val out = recomputed.cache()

@@ -65,6 +65,41 @@ class PagePartitioningSpec extends SparkSpec {
     assert(laid.select(max("domain_bucket")).head().getLong(0) < 32)
   }
 
+  test("tier writes split a hot partition across multiple writer tasks") {
+    import graft.snapshot.{ContinuousRollup, SnapshotStore}
+    val base = java.nio.file.Files.createTempDirectory("tier_skew").toString
+    val root = s"$base/src"
+    val tiers = s"$base/tiers"
+    // every point in ONE day, Zipf-hot domain 0: the worst case for a
+    // one-writer-per-partition layout
+    val pages = PageGen
+      .clean(spark, 30000, nDomains = 10)
+      .withColumn("warc_ts", timestamp_seconds(lit(PageGen.BaseEpoch) + pmod(xxhash64(col("url")), lit(86400L))))
+    SnapshotStore.append(root, pages, tsCol = Some("warc_ts"))
+    ContinuousRollup.update(
+      spark, root, tiers, Seq("domain", "lang"), "warc_ts",
+      length(col("html")).cast("long"),
+      prepare = df => df.withColumn("domain", PageGen.domainOf("url"))
+    )
+    // the hot day's partition dir was written by >1 range bucket
+    val hotDir = java.nio.file.Paths.get(s"$tiers/tier_1m/part_key=2024-01-01")
+    assert(java.nio.file.Files.exists(hotDir), "expected the single-day partition")
+    val files = java.nio.file.Files
+      .list(hotDir)
+      .iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var n = 0
+    while (files.hasNext) { if (files.next().getFileName.toString.endsWith(".parquet")) n += 1 }
+    assert(n > 1, s"hot partition written by $n writer task(s) — expected parallel writers")
+    // and the result still equals the one-shot rollup exactly
+    val got = ContinuousRollup.readTier(spark, tiers, "1m")
+    val want = graft.rollup.Rollup.fromRaw(
+      pages.withColumn("domain", PageGen.domainOf("url")),
+      Seq("domain", "lang"), "warc_ts", "1m", length(col("html")).cast("long")
+    )
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("graft_dot is callable from SQL via the session extension") {
     val v = spark
       .sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
