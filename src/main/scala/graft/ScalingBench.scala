@@ -38,6 +38,17 @@ object ScalingBench {
       best
     }
 
+    // SPARK_GRAFT_SCALE_SINGLE=<cores>: measure one parallelism level
+    // in a fresh JVM and exit — lets the N and 4N sides run in
+    // separate processes so heap/GC state of one cannot taint the
+    // other (observed: a 4-core run's surviving heap regressed the
+    // 16-core run in shared-JVM mode)
+    sys.env.get("SPARK_GRAFT_SCALE_SINGLE").foreach { c =>
+      val thr = run(c.toInt)
+      println(f"""{"metric":"single_throughput","cores":$c,"points_per_sec":$thr%.1f,"pages":$nPages}""")
+      return
+    }
+
     val thrSmall = run(n)
     val thrBig = run(4 * n)
     val eff = (thrBig / thrSmall) / 4.0
