@@ -24,7 +24,10 @@ case class CleaningConfig(
     // gates (`correction.py:474-493`, `:859-871`)
     synthTuples: Int = 0,
     synthGateThreshold: Double = 0.9,
-    synthSeed: Long = 42L
+    synthSeed: Long = 42L,
+    // "GBT" or "CV" (reference CLASSIFICATION_MODEL ABC|CV,
+    // `hpo.cross_validated_estimator`)
+    metaClassifier: String = "GBT"
 )
 
 /** The reference's main entry point (`Cleaning.run`,
@@ -178,7 +181,8 @@ object Cleaning {
           cfg.metaMinLabels,
           synthLabeled = synthCells,
           synthGateThreshold = cfg.synthGateThreshold,
-          etColumns = etCols
+          etColumns = etCols,
+          classifier = cfg.metaClassifier
         )
       }
 

@@ -68,7 +68,8 @@ object MetaLearner {
       seed: Long = 42L,
       synthLabeled: Option[DataFrame] = None,
       synthGateThreshold: Double = 0.9,
-      etColumns: Seq[String] = Seq.empty
+      etColumns: Seq[String] = Seq.empty,
+      classifier: String = "GBT"
   ): DataFrame = {
     val featSum = featureCols.map(col).reduce(_ + _)
     // the pivot is consumed by many actions per column (class counts,
@@ -122,13 +123,7 @@ object MetaLearner {
             .select(col("row_id"), lit(c).as("col"), col("candidate").as("value"))
         } else {
           val assembler = new VectorAssembler().setInputCols(featureCols.toArray).setOutputCol("fvec")
-          val gbt = new GBTClassifier()
-            .setFeaturesCol("fvec")
-            .setLabelCol("label")
-            .setMaxIter(10) // pair-feature spaces are tiny (|correctors| dims); more trees buy nothing
-            .setMaxDepth(3)
-            .setSeed(seed)
-          val model = gbt.fit(assembler.transform(train))
+          val model = fitClassifier(assembler.transform(train), classifier, classCounts.getOrElse(1.0, 0L), seed)
           val scored = model
             .transform(assembler.transform(unlabeled))
             .withColumn("proba", vector_to_array(col("probability")).getItem(1))
@@ -149,6 +144,45 @@ object MetaLearner {
     out.count()
     feats.unpersist()
     out
+  }
+
+  /** Fit the per-column pair classifier. "GBT" is the default; "CV"
+    * cross-validates a small GBT grid (reference
+    * `hpo.cross_validated_estimator`: GridSearchCV over AdaBoost
+    * n_estimators scored by precision — here CrossValidator over
+    * maxIter/maxDepth scored by areaUnderPR), guarded like the
+    * reference: too few positives (<= 2) falls back to the plain
+    * model, as do degenerate folds.
+    */
+  private def fitClassifier(
+      train: DataFrame,
+      classifier: String,
+      positives: Long,
+      seed: Long
+  ): org.apache.spark.ml.classification.GBTClassificationModel = {
+    val gbt = new GBTClassifier()
+      .setFeaturesCol("fvec")
+      .setLabelCol("label")
+      .setMaxIter(10) // pair-feature spaces are tiny (|correctors| dims); more trees buy nothing
+      .setMaxDepth(3)
+      .setSeed(seed)
+    if (classifier != "CV" || positives <= 2) gbt.fit(train)
+    else {
+      import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+      import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+      val grid = new ParamGridBuilder()
+        .addGrid(gbt.maxIter, Array(5, 10, 20))
+        .addGrid(gbt.maxDepth, Array(2, 3))
+        .build()
+      val cv = new CrossValidator()
+        .setEstimator(gbt)
+        .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("label").setMetricName("areaUnderPR"))
+        .setEstimatorParamMaps(grid)
+        .setNumFolds(3)
+        .setSeed(seed)
+      try cv.fit(train).bestModel.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+      catch { case _: Exception => gbt.fit(train) }
+    }
   }
 
   /** M10 ET-gate (reference `src/helpers.py:123-138`): columns where a
