@@ -59,6 +59,39 @@ class PlanSpec extends SparkSpec {
     assert(executedPhysical(df).contains("*("))
   }
 
+  test("bucketed similarity paths never fall back to a cartesian product") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = emb.filter(col("id") < 5).select(col("id").as("query_id"), col("embedding"))
+    for (
+      (name, df) <- Seq(
+        "lshTopK" -> graft.ann.Ann.lshTopK(emb, q, k = 10),
+        "nearDupLsh" -> graft.ann.Ann.cosineNearDupPairsLsh(emb, threshold = 0.4),
+        "minHashLsh" -> graft.dedup.Dedup.minHashLsh(
+          spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id", "text")
+      )
+    ) {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), s"$name plan degraded to a cartesian product: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plan has a nested-loop join: $plan")
+    }
+  }
+
+  test("pruned incremental update opens only the pruned snapshot files") {
+    import graft.snapshot.{ContinuousRollup, SnapshotStore}
+    val root = java.nio.file.Files.createTempDirectory("plan_prune").toString + "/src"
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    SnapshotStore.append(root, ev, tsCol = Some("ts"))
+    // a reader restricted to two days must list exactly those leaf dirs
+    val dirs = SnapshotStore.resolveDirs(root, 0L, 1L, Some(Set("2024-01-05", "2024-01-06")))
+    assert(dirs.size == 2 && dirs.forall(_.contains("part_day=2024-01-0")))
+    val scan = spark.read.parquet(dirs: _*)
+    // every file the scan would open lives in a wanted leaf dir
+    assert(scan.inputFiles.nonEmpty)
+    assert(scan.inputFiles.forall(f => f.contains("part_day=2024-01-05") || f.contains("part_day=2024-01-06")))
+  }
+
   test("correction decision stays whole-stage codegen'd") {
     val base = Seq((1L, "a", "x"), (2L, "a", "y")).toDF("row_id", "nation", "segment")
     val sugg = graft.correct.Correctors.vicinityCorrectorOrder1(
