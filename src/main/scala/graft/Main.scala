@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *              — continuous rollup: fold unapplied snapshots into all
   *                retention tiers (resumable: reads the `_applied`
   *                marker, idempotent partition recompute)
+  *   compact    root=<source root> [upTo=<snapshot id>]
+  *              — consolidate history files per day (small-files
+  *                maintenance; run after consumers' applied markers
+  *                pass upTo)
   *   repair     root=<source root> out=<parquet dir>
   *              — repair the full table at the current snapshot
   *   bench      pages=N
@@ -78,6 +82,11 @@ object Main {
             )
           }
         Map("applied_snapshot" -> applied.toString)
+      case "compact" =>
+        val root = kv("root")
+        val upTo = kv.get("upTo").map(_.toLong).getOrElse(SnapshotStore.currentSnapshotId(root))
+        SnapshotStore.compact(spark, root, upTo)
+        Map("compacted_through" -> upTo.toString)
       case "repair" =>
         val out = kv("out")
         PagePipeline

@@ -115,13 +115,74 @@ object SnapshotStore {
     m.put("rows", rows)
     val dirs: ArrayNode = m.putArray("dataDirs")
     dirs.add(dataDir)
-    if (tsCol.isDefined) {
+    tsCol.foreach { ts =>
+      m.put("tsCol", ts)
       val days: ArrayNode = m.putArray("days")
       listDayTokens(dataDir).foreach(days.add)
     }
     atomicWrite(snapDir(root).resolve(s"v$id.json"), mapper.writeValueAsString(m))
     atomicWrite(snapDir(root).resolve("CURRENT"), id.toString)
     id
+  }
+
+  /** Compact the history (0, upTo] into ONE rebased snapshot: every
+    * day's files across those snapshots rewrite into a single
+    * consolidated day dir, the manifest for `upTo` is replaced by one
+    * covering the whole compacted range, and the older manifests +
+    * data dirs are dropped. Continuous ingest otherwise grows file
+    * counts as appends × days — the classic small-files failure at
+    * scale; compaction restores one-file-set-per-day while later
+    * snapshots and their incremental diffs stay untouched
+    * (`readRange(upTo, to]` is unchanged).
+    *
+    * Single-writer maintenance operation (the Iceberg analog is
+    * rewrite-data-files + expire-snapshots): run it like a tier
+    * update, never concurrently with readers of ranges that start
+    * below `upTo` — incremental consumers must have their applied
+    * marker at `upTo` or later, since per-snapshot diff granularity
+    * below the rebase point is gone afterwards.
+    */
+  def compact(spark: SparkSession, root: String, upTo: Long): Unit = {
+    val ids = snapshotIds(root).filter(id => id > 0 && id <= upTo)
+    require(ids.nonEmpty, s"nothing to compact up to snapshot $upTo in $root")
+    val tsCols = ids.flatMap(id => Option(manifest(root, id).get("tsCol")).map(_.asText())).distinct
+    require(tsCols.size <= 1, s"inconsistent tsCol across snapshots: $tsCols")
+    val oldDirs = ids.flatMap(id => manifest(root, id).get("dataDirs").elements().asScala.map(_.asText()).toSeq)
+
+    val df = readRange(spark, root, 0L, upTo)
+    val compactDir = s"$root/data/c$upTo"
+    val obs = Observation(s"graft_compact_$upTo")
+    tsCols.headOption match {
+      case Some(ts) =>
+        df.withColumn("part_day", to_date(col(ts)))
+          .repartitionByRange(col("part_day"), col(ts))
+          .observe(obs, count(lit(1)).as("rows"))
+          .write
+          .mode("errorifexists")
+          .partitionBy("part_day")
+          .parquet(compactDir)
+      case None =>
+        df.observe(obs, count(lit(1)).as("rows")).write.mode("errorifexists").parquet(compactDir)
+    }
+    val rows = obs.get("rows").asInstanceOf[Long]
+
+    val m: ObjectNode = mapper.createObjectNode()
+    m.put("snapshotId", upTo)
+    m.put("parentId", 0L)
+    m.put("rows", rows)
+    m.put("compacted", true)
+    val dirs: ArrayNode = m.putArray("dataDirs")
+    dirs.add(compactDir)
+    tsCols.headOption.foreach { ts =>
+      m.put("tsCol", ts)
+      val days: ArrayNode = m.putArray("days")
+      listDayTokens(compactDir).foreach(days.add)
+    }
+    // commit order: replacement manifest swaps in atomically, THEN the
+    // superseded manifests and data dirs drop (single-writer window)
+    atomicWrite(snapDir(root).resolve(s"v$upTo.json"), mapper.writeValueAsString(m))
+    ids.filter(_ < upTo).foreach(id => Files.deleteIfExists(snapDir(root).resolve(s"v$id.json")))
+    oldDirs.foreach(deleteRecursively)
   }
 
   private def listDayTokens(dataDir: String): Seq[String] = {

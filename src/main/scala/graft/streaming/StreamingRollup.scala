@@ -1,8 +1,28 @@
 package graft.streaming
 
+import graft.core.{DeltaCodec, GorillaCodec}
 import graft.rollup.Tiers
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One raw point flowing into the streaming block builder. */
+case class StreamPoint(series: String, ts: java.sql.Timestamp, value: Long)
+
+/** Accumulating state of one open (series, hour) block. */
+case class OpenBlock(epochs: Seq[Long], values: Seq[Long])
+
+/** A finished compressed block: delta-of-delta timestamps + Gorilla
+  * XOR values, exactly the columnar struct the batch tier store
+  * persists (`rollup/BlockOps`).
+  */
+case class ClosedBlock(
+    series: String,
+    hour_start: java.sql.Timestamp,
+    n_points: Long,
+    ts_block: Array[Byte],
+    val_block: Array[Byte]
+)
 
 /** Structured Streaming face of the tier engine. The production path
   * in this sandbox is batch-incremental over Iceberg-lite snapshots
@@ -41,6 +61,58 @@ object StreamingRollup {
       .select(
         series.map(col) :+ col("window.start").as("bucket_ts") :+
           col("point_count") :+ col("byte_size"): _*
+      )
+  }
+
+  /** Streaming Gorilla/delta block builder — the custom-state path
+    * built-in windowed aggregates cannot express: per (series, hour)
+    * the state accumulates raw (epoch, value) points, and when the
+    * event-time watermark passes the hour the state times out and ONE
+    * compressed block row is emitted (points sorted by time inside
+    * the block, bit-identical to the batch `BlockOps` structs). State
+    * per group is bounded by an hour of points; groups die at
+    * timeout, so total state is watermark horizon × active series —
+    * the `flatMapGroupsWithState` sizing contract at any scale.
+    *
+    * Input columns: (series, ts, value).
+    */
+  def streamingBlocks(points: Dataset[StreamPoint], watermark: String): Dataset[ClosedBlock] = {
+    implicit val stateEnc = Encoders.product[OpenBlock]
+    implicit val outEnc = Encoders.product[ClosedBlock]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+
+    def hourStart(epochSec: Long): Long = epochSec - (epochSec % 3600)
+
+    points
+      .withWatermark("ts", watermark)
+      .groupByKey(p => (p.series, hourStart(p.ts.getTime / 1000)))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long), rows: Iterator[StreamPoint], state: GroupState[OpenBlock]) => {
+          if (state.hasTimedOut) {
+            // the watermark passed this hour: seal and emit the block
+            val s = state.get
+            val sorted = s.epochs.zip(s.values).sortBy(_._1)
+            state.remove()
+            Iterator.single(
+              ClosedBlock(
+                key._1,
+                new java.sql.Timestamp(key._2 * 1000),
+                sorted.size.toLong,
+                DeltaCodec.encode(sorted.map(_._1).toArray),
+                GorillaCodec.encode(sorted.map(_._2.toDouble).toArray)
+              )
+            )
+          } else {
+            val prev = state.getOption.getOrElse(OpenBlock(Nil, Nil))
+            val pts = rows.toSeq
+            state.update(
+              OpenBlock(prev.epochs ++ pts.map(_.ts.getTime / 1000), prev.values ++ pts.map(_.value))
+            )
+            // time out once event time passes the end of this hour
+            state.setTimeoutTimestamp((key._2 + 3600) * 1000)
+            Iterator.empty
+          }
+        }
       )
   }
 }

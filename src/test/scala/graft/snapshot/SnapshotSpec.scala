@@ -140,6 +140,39 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("compaction consolidates day files, preserves rows, and later diffs keep working") {
+    val root = tmpDir("snap_compact")
+    val tiers = tmpDir("snap_compact_tiers")
+    // three appends that each touch the SAME days -> 3 file sets per day
+    val parts = Seq(0, 1, 2).map(i => events.filter(col("event_id") % 3 === i))
+    parts.foreach(b => SnapshotStore.append(root, b, tsCol = Some("ts")))
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L))
+    val before = SnapshotStore.read(spark, root)
+    val rowsBefore = before.count()
+    val filesBefore = before.inputFiles.length
+
+    SnapshotStore.compact(spark, root, upTo = 3L)
+
+    val after = SnapshotStore.read(spark, root)
+    assert(after.count() == rowsBefore)
+    assert(after.inputFiles.length < filesBefore, s"${after.inputFiles.length} vs $filesBefore files")
+    // exactly one data file set remains, under the compacted dir
+    assert(after.inputFiles.forall(_.contains("/data/c3/")))
+    // day manifests survive compaction -> pruned reads still work
+    assert(SnapshotStore.hasDayInfo(root, 0L, 3L))
+
+    // a later append + incremental update continues from the marker
+    // over the compacted base and stays exact
+    val extra = events.filter(col("event_id") % 3 === 0).withColumn("event_id", col("event_id") + 1000000)
+    SnapshotStore.append(root, extra, tsCol = Some("ts"))
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L))
+    for (t <- Seq("1h", "30d")) {
+      val got = ContinuousRollup.readTier(spark, tiers, t)
+      val want = fullTier(events.unionByName(extra), t)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"tier $t mismatch after compaction")
+    }
+  }
+
   test("update is a no-op when nothing is new, and resumes after a lost marker") {
     val root = tmpDir("snap_src2")
     val tiers = tmpDir("snap_tiers2")

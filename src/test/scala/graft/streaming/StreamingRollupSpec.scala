@@ -48,6 +48,49 @@ class StreamingRollupSpec extends SparkSpec {
     )
   }
 
+  test("custom-state block builder seals hours at the watermark and round-trips exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Long)]
+    val points = mem.toDF().toDF("series", "ts", "value").as[StreamPoint]
+    val out = StreamingRollup.streamingBlocks(points, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("blocks").outputMode("append").start()
+
+    mem.addData(
+      ("a", ts("2024-01-01 00:10:00"), 5L),
+      ("a", ts("2024-01-01 00:20:00"), 7L),
+      ("a", ts("2024-01-01 00:15:00"), 6L), // out of order inside the hour
+      ("b", ts("2024-01-01 00:30:00"), 2L)
+    )
+    q.processAllAvailable()
+    // nothing sealed yet: watermark still inside hour 0
+    assert(spark.table("blocks").count() == 0)
+
+    // event time far past hour 0 + watermark -> both hour-0 groups time out
+    mem.addData(("a", ts("2024-01-01 02:00:00"), 1L))
+    q.processAllAvailable()
+    val got = spark
+      .table("blocks")
+      .collect()
+      .map { r =>
+        val tsb = graft.core.DeltaCodec.decode(r.getAs[Array[Byte]]("ts_block"))
+        val vb = graft.core.GorillaCodec.decode(r.getAs[Array[Byte]]("val_block"))
+        (r.getAs[String]("series"), r.getAs[Timestamp]("hour_start").toString,
+         r.getAs[Long]("n_points"), tsb.toSeq, vb.toSeq)
+      }
+      .toSet
+    q.stop()
+
+    def ep(x: String) = ts(x).getTime / 1000
+    assert(
+      got == Set(
+        ("a", "2024-01-01 00:00:00.0", 3L,
+          Seq(ep("2024-01-01 00:10:00"), ep("2024-01-01 00:15:00"), ep("2024-01-01 00:20:00")),
+          Seq(5.0, 6.0, 7.0)),
+        ("b", "2024-01-01 00:00:00.0", 1L, Seq(ep("2024-01-01 00:30:00")), Seq(2.0))
+      )
+    )
+  }
+
   test("rows later than the watermark are dropped after window close") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Long)]
