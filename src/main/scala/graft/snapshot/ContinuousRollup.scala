@@ -119,7 +119,10 @@ object ContinuousRollup {
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val newRows = prepare(SnapshotStore.readRange(spark, sourceRoot, from, to))
+    // consumed once for the touched-day set and once per tier for the
+    // touched part_key sets — cache, or the batch re-reads and
+    // re-prepares five times
+    val newRows = prepare(SnapshotStore.readRange(spark, sourceRoot, from, to)).cache()
 
     val canPrune = SnapshotStore.hasDayInfo(sourceRoot, 0L, to)
     val (allRows, dirsRead, dirsTotal) =
@@ -198,6 +201,7 @@ object ContinuousRollup {
       .parquet(s"$tiersRoot/_metrics")
 
     allRows.unpersist()
+    newRows.unpersist()
     writeApplied(tiersRoot, to)
     to
   }

@@ -92,6 +92,34 @@ class PlanSpec extends SparkSpec {
     assert(scan.inputFiles.forall(f => f.contains("part_day=2024-01-05") || f.contains("part_day=2024-01-06")))
   }
 
+  test("no driver query degrades to a cartesian product; NLJ/SMJ only where intended") {
+    // queries whose DataFrame CONSTRUCTION already executes heavy work
+    // (lifecycle runs, snapshot updates, driver-side collects) are
+    // audited by their own specs — the sweep covers the rest cheaply
+    val skip = Set(
+      "q25_pages_pipeline", "q37_continuous_rollup", "q44_baran_sample",
+      "q45_meta_learner", "q48_cleaning", "q52_cleaning_synth",
+      "q53_detection_mask", "q54_label_noise"
+    )
+    // broadcast-model or tiny-side joins where a nested-loop is the
+    // right plan: brute-force/centroid crosses (exactness baselines),
+    // literal-column broadcast model lookups, single-row evaluation
+    val allowNlj = Set("q15_ann_brute", "q28_ann_ivf", "q35_embed_neardup", "q31_imputer", "q33_evaluate")
+    // row_id-keyed apply/overlay joins: both sides scale with the
+    // table, so a shuffle join IS the 100-TB plan (full-outer overlay
+    // cannot broadcast at all)
+    val allowSmj = Set("q07_correct_fd", "q32_user_overlay")
+    val dir = "/root/testdata/sf0.001"
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip.contains(name)) {
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name degraded to a cartesian product")
+      if (plan.contains("BroadcastNestedLoopJoin"))
+        assert(allowNlj.contains(name), s"$name grew an unexpected nested-loop join")
+      if (plan.contains("SortMergeJoin"))
+        assert(allowSmj.contains(name), s"$name grew an unexpected sort-merge join")
+    }
+  }
+
   test("correction decision stays whole-stage codegen'd") {
     val base = Seq((1L, "a", "x"), (2L, "a", "y")).toDF("row_id", "nation", "segment")
     val sugg = graft.correct.Correctors.vicinityCorrectorOrder1(
