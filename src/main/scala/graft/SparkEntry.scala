@@ -315,14 +315,24 @@ object SparkEntry {
     "q26_media_features" -> ((s, _) => {
       graft.multimodal.Multimodal
         .extractFeatures(graft.multimodal.Multimodal.syntheticMedia(s, 2000L), dim = 16)
-        .select(col("media_id"), col("kind"), size(col("features")).as("dim"))
+        .select(
+          col("media_id"),
+          col("kind"),
+          size(col("features")).as("dim"),
+          md5(col("payload")).as("payload_md5")
+        )
     }),
 
     // ---- multimodal: frame sampling fan-out (rows-only check) ----
     "q27_frame_sample" -> ((s, _) => {
       graft.multimodal.Multimodal
         .frameSample(graft.multimodal.Multimodal.syntheticMedia(s, 2000L))
-        .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+        .select(
+          col("media_id"),
+          col("frame_idx"),
+          length(col("frame")).as("frame_bytes"),
+          md5(col("frame")).as("frame_md5")
+        )
     }),
 
     // ---- similarity: IVF-bucketed ANN (rows-only check) ----
@@ -1260,6 +1270,41 @@ object SparkEntry {
            WHERE (SELECT count(*) FROM customer) = 150)
          SELECT CAST(rank AS BIGINT) AS rank, CAST(row_id AS BIGINT) AS row_id FROM pick"""
     },
+    // Exact oracle for the tier-merged HLL path: at these per-bucket
+    // cardinalities the datasketches HLL sketch is still in its
+    // exact (sparse) mode, so the estimate after two re-rollup merges
+    // MUST equal the true distinct count — verifying sketch build,
+    // tier merges, and estimate end-to-end. (At cardinalities beyond
+    // the sketch's exact region this becomes a tolerance check —
+    // RollupSketchSpec pins the 5% bound there.)
+    "q50_hll_tiers" ->
+      """SELECT event_type, date_trunc('day', ts) AS bucket_ts, count(*) AS point_count,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users_est
+         FROM events GROUP BY 1, 2""",
+    // Parity oracle over the deterministic synthetic payload bytes:
+    // the generator (16 concatenated md5 hex blocks per id) and the
+    // metadata fan-through are reproduced in SQL, pinning the binary
+    // plumbing byte-for-byte.
+    "q26_media_features" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 1999)) AS media_id),
+         m AS (SELECT media_id,
+                      CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                      array_to_string(list_transform(generate_series(0, 15),
+                        j -> md5(CAST(media_id AS VARCHAR) || CAST(j AS VARCHAR))), '') AS payload
+               FROM ids)
+         SELECT media_id, kind, 16 AS dim, md5(payload) AS payload_md5 FROM m""",
+    // Frame sampling parity: 512-byte payloads -> 8 frames of 64,
+    // every 4th kept; frame bytes verified by md5 of the same slice.
+    "q27_frame_sample" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 1999)) AS media_id),
+         m AS (SELECT media_id,
+                      array_to_string(list_transform(generate_series(0, 15),
+                        j -> md5(CAST(media_id AS VARCHAR) || CAST(j AS VARCHAR))), '') AS payload
+               FROM ids),
+         f AS (SELECT media_id, unnest([0, 4]) AS frame_idx, payload FROM m)
+         SELECT media_id, frame_idx, 64 AS frame_bytes,
+                md5(substr(payload, frame_idx * 64 + 1, 64)) AS frame_md5
+         FROM f""",
     // The mask lists exactly these positions; the oracle re-derives
     // them from the generation rule, independently of the JSON file.
     "q53_detection_mask" ->
