@@ -1270,6 +1270,9 @@ object SparkEntry {
            WHERE (SELECT count(*) FROM customer) = 150)
          SELECT CAST(rank AS BIGINT) AS rank, CAST(row_id AS BIGINT) AS row_id FROM pick"""
     },
+    // Golden oracle for the flagship pages pipeline (see Q25Golden —
+    // SF- and parallelism-independent end-to-end repair semantics).
+    "q25_pages_pipeline" -> Q25Golden.sql,
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
