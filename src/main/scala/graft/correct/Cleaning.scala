@@ -187,7 +187,13 @@ object Cleaning {
       }
 
     // step 10: user labels always win
-    Correctors.overlayUserLabels(decided, userLabels.withColumnRenamed("clean_value", "value"))
+    val out = Correctors
+      .overlayUserLabels(decided, userLabels.withColumnRenamed("clean_value", "value"))
+      .cache()
+    out.count() // materialize so the working caches can release
+    suggestions.unpersist()
+    synthCells.foreach(_.unpersist())
+    out
   }
 
   /** Convenience: run + apply back onto the wide table. */
