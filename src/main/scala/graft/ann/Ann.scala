@@ -59,8 +59,8 @@ object Ann {
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
     * with cosine similarity >= threshold. Exactness baseline for
     * near-dup detection over embeddings; the self-join is the O(n^2)
-    * truth path — at scale, run the same rerank only within
-    * `lshBucket` buckets (see `lshTopK`) to keep candidate generation
+    * truth path — at scale, `cosineNearDupPairsLsh` runs the same
+    * rerank only within LSH buckets to keep candidate generation
     * linear. Norms are precomputed once per side so the pair loop does
     * one dot product, and the id inequality halves the pair space.
     */
@@ -79,42 +79,13 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane for plane p: component d
-    * is a 31-bit LCG over the (p, d) index, scaled to [-1, 1).
-    * Integer arithmetic only (then one exact power-of-two division),
-    * so any SQL engine reproduces the planes bit-for-bit — the LSH
-    * oracle checks algorithm parity, not recall luck. Materialized as
-    * a LITERAL array at plan-build time: the per-element formula in
-    * the expression tree made a 32-table bucket computation pay
-    * seconds of analysis/codegen for microseconds of arithmetic.
-    */
-  private def planeVector(p: Int, maxDim: Int = 512): Column =
-    lit(Array.tabulate(maxDim) { d =>
-      val h = ((131L * p + d) * 1103515245L + 12345L) % 2147483648L
-      h.toDouble / 1073741824.0 - 1.0
-    })
-
-  /** Sign signature of an embedding under `planes` hyperplanes, as an
-    * integer bucket key. `table` selects an independent plane family
-    * (global plane index = table * planes + j). The embedding must
-    * already be array<double> (dim <= 512).
-    */
-  def lshBucket(emb: Column, planes: Int, table: Int = 0): Column = {
-    val bits = (0 until planes).map { j =>
-      val p = table * planes + j
-      val proj = aggregate(
-        zip_with(emb, slice(planeVector(p), lit(1), size(emb)), (x, c) => x * c),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
-      when(proj >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
-
   /** All `tables * planes` hyperplane projections of an embedding in
-    * ONE higher-order-function pass over a literal plane matrix —
-    * tables x planes separate aggregate expressions made Catalyst
+    * ONE higher-order-function pass over a literal plane matrix.
+    * Plane component (p, d) is a 31-bit LCG over the index, scaled to
+    * [-1, 1) — integer arithmetic only, so any SQL engine reproduces
+    * the planes bit-for-bit and the LSH oracles check algorithm
+    * parity, not recall luck. The matrix is a LITERAL materialized at
+    * plan-build time: per-element formula expressions made Catalyst
     * analysis/codegen the dominant cost of small bucket jobs.
     */
   private def allProjections(emb: Column, tables: Int, planes: Int, maxDim: Int = 512): Column = {
@@ -122,13 +93,23 @@ object Ann {
       val h = ((131L * p + d) * 1103515245L + 12345L) % 2147483648L
       h.toDouble / 1073741824.0 - 1.0
     })
+    // zip_with null-pads past maxDim: every projection would go NULL
+    // and every row would silently share bucket 0 (an O(n^2) join) —
+    // fail loudly instead
+    val dimGuard = when(
+      size(emb) > maxDim,
+      raise_error(concat(lit(s"LSH planes support dim <= $maxDim, got "), size(emb).cast("string")))
+    )
     transform(
       sequence(lit(0), lit(tables * planes - 1)),
       p =>
-        aggregate(
-          zip_with(emb, slice(element_at(matrix, p + 1), lit(1), size(emb)), (x, c) => x * c),
-          lit(0.0),
-          (acc, x) => acc + x
+        coalesce(
+          dimGuard.cast("double"),
+          aggregate(
+            zip_with(emb, slice(element_at(matrix, p + 1), lit(1), size(emb)), (x, c) => x * c),
+            lit(0.0),
+            (acc, x) => acc + x
+          )
         )
     )
   }
@@ -218,12 +199,16 @@ object Ann {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
-    cand
+    val out = cand
       .join(withNorm.select(col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a")), "id_a")
       .join(withNorm.select(col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b")), "id_b")
       .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .cache()
+    out.count() // materialize so the norm cache can release
+    withNorm.unpersist()
+    out
   }
 
   /** IVF-style variant: coarse centroids = the `nCentroids` first

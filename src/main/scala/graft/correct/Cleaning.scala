@@ -101,8 +101,12 @@ object Cleaning {
     // — stricter than the reference, which lets a synthetic cell see
     // its own value in the count models), and their suggestions are
     // split off below as extra training pairs.
+    // synthetic pairs feed ONLY the meta-learner; without it they
+    // would still perturb the corrector count models (synth cells are
+    // masked like errors) while their suggestions go unused — so an
+    // A13 run must be identical with or without synthTuples
     val synthCells =
-      if (cfg.synthTuples <= 0) None
+      if (cfg.synthTuples <= 0 || !cfg.useMetaLearner) None
       else Some(drawSynthCells(df, rowId, cols, detected, cfg.synthTuples, cfg.synthSeed).cache())
     val correctorErrors = synthCells match {
       case Some(sc) =>

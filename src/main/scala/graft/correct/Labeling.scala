@@ -57,11 +57,13 @@ object Labeling {
     ) < lit((noisePct * 10000).toLong)
 
     cells
-      .join(broadcast(succ), Seq("col", "value"))
+      .join(broadcast(succ), Seq("col", "value"), "left") // null values never match but must keep their label row
       .select(
         col("row_id"),
         col("col"),
-        when(slip && col("n") > 1, col("next_value")).otherwise(col("value")).as("clean_value")
+        when(slip && col("n") > 1 && col("next_value").isNotNull, col("next_value"))
+          .otherwise(col("value"))
+          .as("clean_value")
       )
   }
 }

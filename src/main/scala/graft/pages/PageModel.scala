@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *   model(to) = model(from) ⊕ counts(rows added in (from, to])
   *
   * — exactly equal to counting the full table at snapshot `to`, with
-  * no full-table rescan. Combined with `SnapshotStore.readRangeDays`
+  * no full-table rescan. Combined with `SnapshotStore.resolveDirs`
   * file pruning, a continuous-rollup update therefore touches only
   * (a) the new batch and (b) the files of the tier partitions it
   * recomputes, while repair decisions still use full-table counts —

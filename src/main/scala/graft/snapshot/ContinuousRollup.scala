@@ -119,6 +119,13 @@ object ContinuousRollup {
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    // an empty day-partitioned append commits a manifest with no data
+    // dirs at all — nothing to fold, mark applied and return
+    if (SnapshotStore.resolveDirs(sourceRoot, from, to).isEmpty) {
+      writeApplied(tiersRoot, to)
+      return to
+    }
+
     // consumed once for the touched-day set and once per tier for the
     // touched part_key sets — cache, or the batch re-reads and
     // re-prepares five times

@@ -143,8 +143,16 @@ object SnapshotStore {
     * below the rebase point is gone afterwards.
     */
   def compact(spark: SparkSession, root: String, upTo: Long): Unit = {
+    require(
+      upTo <= currentSnapshotId(root),
+      s"cannot compact through snapshot $upTo: current is ${currentSnapshotId(root)}"
+    )
     val ids = snapshotIds(root).filter(id => id > 0 && id <= upTo)
     require(ids.nonEmpty, s"nothing to compact up to snapshot $upTo in $root")
+    // crash leftover from a previous attempt: the compacted dir only
+    // becomes visible through the replacement manifest, so an orphan
+    // is safe to rebuild
+    deleteRecursively(s"$root/data/c$upTo")
     val tsCols = ids.flatMap(id => Option(manifest(root, id).get("tsCol")).map(_.asText())).distinct
     require(tsCols.size <= 1, s"inconsistent tsCol across snapshots: $tsCols")
     val oldDirs = ids.flatMap(id => manifest(root, id).get("dataDirs").elements().asScala.map(_.asText()).toSeq)
@@ -178,23 +186,28 @@ object SnapshotStore {
       val days: ArrayNode = m.putArray("days")
       listDayTokens(compactDir).foreach(days.add)
     }
-    // commit order: replacement manifest swaps in atomically, THEN the
-    // superseded manifests and data dirs drop (single-writer window)
+    // commit = the atomic manifest swap. Readers treat a compacted
+    // manifest as superseding every earlier snapshot (`resolveDirs`
+    // drops ids below the newest compacted id), so a crash between
+    // the swap and the cleanup below can never double-count — the
+    // stale manifests and data dirs are garbage, removed here and
+    // harmless if they briefly survive.
     atomicWrite(snapDir(root).resolve(s"v$upTo.json"), mapper.writeValueAsString(m))
     ids.filter(_ < upTo).foreach(id => Files.deleteIfExists(snapDir(root).resolve(s"v$id.json")))
     oldDirs.foreach(deleteRecursively)
   }
 
   private def listDayTokens(dataDir: String): Seq[String] = {
-    val p = Paths.get(dataDir)
-    Files
-      .list(p)
-      .iterator()
-      .asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("part_day=") => s.stripPrefix("part_day=") }
-      .toSeq
-      .sorted
+    val stream = Files.list(Paths.get(dataDir))
+    try
+      stream
+        .iterator()
+        .asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("part_day=") => s.stripPrefix("part_day=") }
+        .toSeq
+        .sorted
+    finally stream.close()
   }
 
   /** Recursive local-FS delete (test/fixture helper — production
@@ -236,8 +249,20 @@ object SnapshotStore {
       wantedDays: Option[Set[String]] = None,
       alwaysInclude: String => Boolean = _ => false
   ): Seq[String] = {
-    snapshotIds(root)
-      .filter(id => id > fromExclusive && id <= toInclusive)
+    val inRange = snapshotIds(root).filter(id => id > fromExclusive && id <= toInclusive)
+    // a compacted manifest supersedes every earlier snapshot: ignore
+    // ids below the newest compacted id even if their manifests still
+    // exist (crash-window leftovers must never double-count), and
+    // refuse diff reads that would need the erased granularity
+    val compactedMax = inRange.filter(id => manifest(root, id).has("compacted")).maxOption
+    compactedMax.foreach { c =>
+      require(
+        fromExclusive == 0L || fromExclusive >= c,
+        s"snapshots up to $c were compacted: incremental reads from $fromExclusive are gone"
+      )
+    }
+    inRange
+      .filter(id => compactedMax.forall(id >= _))
       .flatMap { id =>
         val m = manifest(root, id)
         val dataDirs = m.get("dataDirs").elements().asScala.map(_.asText()).toSeq
@@ -261,23 +286,4 @@ object SnapshotStore {
     spark.read.parquet(dirs: _*)
   }
 
-  /** Pruned incremental read: only the `part_day` leaf dirs in
-    * `wantedDays` (plus the null partition and days the
-    * `alwaysInclude` predicate flags — e.g. corrupt-timestamp sentinel
-    * days whose rows may repair into any wanted day). File-level
-    * pruning from the manifests alone: nothing outside the returned
-    * dirs is ever opened.
-    */
-  def readRangeDays(
-      spark: SparkSession,
-      root: String,
-      fromExclusive: Long,
-      toInclusive: Long,
-      wantedDays: Set[String],
-      alwaysInclude: String => Boolean = _ => false
-  ): DataFrame = {
-    val dirs = resolveDirs(root, fromExclusive, toInclusive, Some(wantedDays), alwaysInclude)
-    require(dirs.nonEmpty, s"no data dirs for ${wantedDays.size} wanted days in ($fromExclusive, $toInclusive] of $root")
-    spark.read.parquet(dirs: _*)
-  }
 }

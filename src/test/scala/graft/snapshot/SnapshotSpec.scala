@@ -173,6 +173,38 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("a stale manifest surviving a compaction crash never double-counts") {
+    val root = tmpDir("snap_crash")
+    SnapshotStore.append(root, events.filter(col("event_id") % 2 === 0), tsCol = Some("ts"))
+    SnapshotStore.append(root, events.filter(col("event_id") % 2 === 1), tsCol = Some("ts"))
+    val total = SnapshotStore.read(spark, root).count()
+    // simulate a crash after the replacement manifest swap but before
+    // cleanup: compact, then resurrect snapshot 1's manifest
+    val v1 = java.nio.file.Paths.get(root, "_snapshots", "v1.json")
+    val saved = java.nio.file.Files.readAllBytes(v1)
+    SnapshotStore.compact(spark, root, 2L)
+    java.nio.file.Files.write(v1, saved)
+    // readers must ignore the superseded manifest entirely
+    assert(SnapshotStore.read(spark, root).count() == total)
+    // and an incremental read needing erased diff granularity refuses
+    intercept[IllegalArgumentException] {
+      SnapshotStore.resolveDirs(root, 1L, 2L)
+    }
+  }
+
+  test("an empty day-partitioned append leaves the next update a clean no-op") {
+    val root = tmpDir("snap_empty")
+    val tiers = tmpDir("snap_empty_tiers")
+    SnapshotStore.append(root, events, tsCol = Some("ts"))
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L))
+    val before = ContinuousRollup.readTier(spark, tiers, "1h").collect().toSet
+    // zero-row batch: commits a manifest with no partition dirs
+    SnapshotStore.append(root, events.filter(lit(false)), tsCol = Some("ts"))
+    val applied = ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L))
+    assert(applied == 2L && ContinuousRollup.lastApplied(tiers) == 2L)
+    assert(ContinuousRollup.readTier(spark, tiers, "1h").collect().toSet == before)
+  }
+
   test("update is a no-op when nothing is new, and resumes after a lost marker") {
     val root = tmpDir("snap_src2")
     val tiers = tmpDir("snap_tiers2")
