@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *              — continuous rollup: fold unapplied snapshots into all
   *                retention tiers (resumable: reads the `_applied`
   *                marker, idempotent partition recompute)
-  *   compact    root=<source root> [upTo=<snapshot id>]
+  *   compact    root=<source root> [upTo=<snapshot id>] [tiers=<root>,..]
   *              — consolidate history files per day (small-files
-  *                maintenance; run after consumers' applied markers
-  *                pass upTo)
+  *                maintenance). Pass the consumers' tier roots: the
+  *                rebase refuses to pass any `_applied` marker (and
+  *                the default upTo is capped at the slowest consumer)
   *   repair     root=<source root> out=<parquet dir>
   *              — repair the full table at the current snapshot
   *   bench      pages=N
@@ -84,8 +85,17 @@ object Main {
         Map("applied_snapshot" -> applied.toString)
       case "compact" =>
         val root = kv("root")
-        val upTo = kv.get("upTo").map(_.toLong).getOrElse(SnapshotStore.currentSnapshotId(root))
-        SnapshotStore.compact(spark, root, upTo)
+        // consumers' tier roots (comma-separated): compaction never
+        // rebases past their applied markers — the default upTo is
+        // capped at the slowest consumer, an explicit upTo beyond a
+        // marker is refused inside `compact`
+        val consumers = kv.get("tiers").map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+        val markerCap = consumers.map(ContinuousRollup.lastApplied).minOption.getOrElse(Long.MaxValue)
+        val upTo = kv
+          .get("upTo")
+          .map(_.toLong)
+          .getOrElse(math.min(SnapshotStore.currentSnapshotId(root), markerCap))
+        SnapshotStore.compact(spark, root, upTo, consumers)
         Map("compacted_through" -> upTo.toString)
       case "repair" =>
         val out = kv("out")

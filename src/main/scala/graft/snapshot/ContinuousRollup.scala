@@ -3,7 +3,7 @@ package graft.snapshot
 import graft.rollup.{Rollup, Tiers}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Continuous aggregates over an Iceberg-lite snapshot table
@@ -60,8 +60,10 @@ object ContinuousRollup {
     spark.read.parquet(tierPath(tiersRoot, tier)).drop("part_key")
 
   /** Partition key of a raw point for a tier: the day (1m/1h/1d) or
-    * the 30d window start — chosen so recomputing a partition needs
-    * exactly the raw rows carrying that key.
+    * the 30d window start. The day tiers recompute their touched
+    * partitions from raw rows carrying exactly that day; the 30d tier
+    * re-rolls up from the 1d tier (counts/sums/HLL are associative),
+    * so no tier ever reads raw data outside the touched days.
     */
   private def partKeyOfPoint(tsCol: String, tier: String): Column = tier match {
     case "30d" => to_date(Tiers.bucket(col(tsCol), "30d"))
@@ -97,10 +99,32 @@ object ContinuousRollup {
     *
     * I/O is incremental, not just compute: when the source snapshots
     * were appended with a `tsCol` (day-partitioned data + manifest day
-    * lists), the full-range scan is pruned at FILE level to the days
-    * of the touched tier partitions (expanded to whole 30d windows)
-    * plus suspect-day partitions — nothing else is opened. Without day
-    * manifests it falls back to the full-range scan.
+    * lists), the full-range scan is pruned at FILE level to exactly
+    * the days touched by the new batch plus suspect-day partitions —
+    * nothing else is opened. Coarse tiers never widen the raw read:
+    * 1d re-rolls up the freshly written 1h partitions and 30d the 1d
+    * partitions of its touched windows (associative measures, exact
+    * by RollupSpec/q50), so a daily update reads the touched days of
+    * raw plus a handful of tiny tier partitions — not 30 days of raw.
+    * Without day manifests it falls back to the full-range scan.
+    *
+    * The `prepare` contract is enforced at runtime on the pruned
+    * branch: any row stored under a real (non-suspect) `part_day`
+    * whose post-prepare day differs from its stored day would silently
+    * fall out of every future recompute of its new day, so the update
+    * counts such rows and fails loudly instead of diverging; the count
+    * is also recorded in `_metrics.contract_violations`. Two guard
+    * tiers, both riding the batch's cache-materialization pass as an
+    * `observe` metric (no second read of the pruned data):
+    *   - exact: the stored day is attached AT the scan (the one place
+    *     `input_file_name` is legal) and compared per row after
+    *     `prepare`, whenever `prepare` passes unknown columns through;
+    *   - membership: prepares that project to a fixed schema drop the
+    *     column, so the guard degrades to "every post-prepare day must
+    *     be a needed day or a day that suspect-partition rows land
+    *     on" (the latter probed by preparing the suspect dirs alone —
+    *     tiny by construction). This tier cannot see moves BETWEEN
+    *     needed days, only escapes from the needed set.
     */
   def update(
       spark: SparkSession,
@@ -131,57 +155,173 @@ object ContinuousRollup {
     // re-prepares five times
     val newRows = prepare(SnapshotStore.readRange(spark, sourceRoot, from, to)).cache()
 
+    // one tiny job over the prepared batch: the days its points land
+    // on (post-repair) and the 30d windows they touch. Days decide
+    // both the pruned raw read and the 1m/1h/1d recomputes; windows
+    // decide which 30d partitions re-roll up from the 1d tier.
+    val touchedKeys = newRows
+      .select(
+        to_date(col(tsCol)).as("d"),
+        to_date(Tiers.bucket(col(tsCol), "30d")).as("w")
+      )
+      .distinct()
+      .collect()
+    val days = touchedKeys.iterator.filterNot(_.isNullAt(0)).map(_.getDate(0).toLocalDate).toSet
+    val windows = touchedKeys.iterator.filterNot(_.isNullAt(1)).map(_.getDate(1).toLocalDate).toSet
+    if (days.isEmpty && windows.isEmpty) {
+      // every prepared row has a null timestamp: nothing lands in any
+      // tier partition — same clean no-op as an empty append
+      newRows.unpersist()
+      writeApplied(tiersRoot, to)
+      return to
+    }
+    // full day span of every touched 30d window — 1d TIER partitions
+    // the 30d re-rollup reads (never raw files)
+    val windowSpanDays: Seq[java.time.LocalDate] =
+      windows.toSeq.flatMap(w => (0 until 30).map(i => w.plusDays(i.toLong))).distinct.sorted
+
+    val StoredDayCol = "__graft_stored_day"
+    val dayRe = "part_day=([0-9]{4}-[0-9]{2}-[0-9]{2})"
     val canPrune = SnapshotStore.hasDayInfo(sourceRoot, 0L, to)
-    val (allRows, dirsRead, dirsTotal) =
+    val neededDays: Set[String] = days.map(_.toString)
+    val (prepared, readDirs, dirsTotal) =
       if (!canPrune) {
         val dirs = SnapshotStore.resolveDirs(sourceRoot, 0L, to)
-        (prepare(spark.read.parquet(dirs: _*)), dirs.size, dirs.size)
+        (prepare(spark.read.parquet(dirs: _*)), dirs, dirs.size)
       } else {
-        // one tiny job over the prepared batch: the days its points
-        // land on (post-repair) and the 30d windows they touch; windows
-        // expand to their full day span so a touched 30d partition can
-        // recompute from raw
-        val touched = newRows
-          .select(
-            to_date(col(tsCol)).as("d"),
-            to_date(Tiers.bucket(col(tsCol), "30d")).as("w")
-          )
-          .distinct()
-          .collect()
-        val days = touched.iterator.filterNot(_.isNullAt(0)).map(_.getDate(0).toLocalDate).toSet
-        val windows = touched.iterator.filterNot(_.isNullAt(1)).map(_.getDate(1).toLocalDate).toSet
-        val needed: Set[String] =
-          (days ++ windows.flatMap(w => (0 until 30).map(i => w.plusDays(i.toLong))))
-            .map(_.toString)
-        val dirs = SnapshotStore.resolveDirs(sourceRoot, 0L, to, Some(needed), suspectDay)
+        val dirs = SnapshotStore.resolveDirs(sourceRoot, 0L, to, Some(neededDays), suspectDay)
         val total = SnapshotStore.resolveDirs(sourceRoot, 0L, to)
-        (prepare(spark.read.parquet(dirs: _*)), dirs.size, total.size)
+        if (dirs.isEmpty)
+          throw new IllegalStateException(
+            s"ContinuousRollup prepare-contract violation: the prepared batch lands on days $neededDays " +
+              "but no stored partition carries any of them (and no suspect partitions exist) — `prepare` " +
+              "moved rows off their stored days. Partition-deciding timestamp repairs are only allowed " +
+              "for rows stored under suspect days (see `suspectDay`)."
+          )
+        // attach the stored day at the scan — the only plan position
+        // where input_file_name is legal when `prepare` adds more file
+        // sources (count models etc.); from here on it is a plain data
+        // column that survives shuffles and joins
+        val scan = spark.read
+          .parquet(dirs: _*)
+          .withColumn(StoredDayCol, regexp_extract(input_file_name(), dayRe, 1))
+        (prepare(scan), dirs, total.size)
       }
+    val dirsRead = readDirs.size
+
+    // prepare-contract guard (pruned branch): a row stored under a
+    // real part_day must keep that day through prepare — otherwise
+    // recomputes of its post-prepare day never read its file and the
+    // tiers silently diverge from the one-shot result. Suspect-day and
+    // null-partition rows are exempt (they are read by EVERY pruned
+    // update precisely because their stored day is untrusted).
+    val realStoredDays: Seq[String] = readDirs
+      .map(d => d.substring(d.lastIndexOf("part_day=") + "part_day=".length))
+      .filter(d => d.matches("[0-9]{4}-[0-9]{2}-[0-9]{2}") && !suspectDay(d))
+      .distinct
+    val guardObs = Observation(s"graft_prepare_contract_${tiersRoot.hashCode.toHexString}_$to")
+    val exactGuard = canPrune && realStoredDays.nonEmpty && prepared.columns.contains(StoredDayCol)
+    val memberGuard = canPrune && realStoredDays.nonEmpty && !exactGuard
+    val dayStr = to_date(col(tsCol)).cast("string")
+    val allRows =
+      if (exactGuard) {
+        // exact tier: per-row comparison of post-prepare day vs the
+        // day the row's file was stored under
+        val violation = col(StoredDayCol).isin(realStoredDays: _*) &&
+          (dayStr =!= col(StoredDayCol) || col(tsCol).isNull)
+        prepared.observe(guardObs, count(when(violation, lit(1))).as("violations"))
+      } else if (memberGuard) {
+        // membership tier: `prepare` dropped the stored-day column, so
+        // fall back to set membership. Days that suspect/null-partition
+        // rows legitimately land on are probed by preparing those dirs
+        // alone — exact iff the partition-deciding repair is row-local,
+        // which is itself the contract being checked.
+        val suspectDirs = SnapshotStore.resolveDirs(sourceRoot, 0L, to, Some(Set.empty), suspectDay)
+        val landedDays: Set[String] =
+          if (suspectDirs.isEmpty) Set.empty
+          else
+            prepare(spark.read.parquet(suspectDirs: _*))
+              .select(dayStr.as("d"))
+              .filter(col("d").isNotNull)
+              .distinct()
+              .collect()
+              .map(_.getString(0))
+              .toSet
+        val allowed = (neededDays ++ landedDays).toSeq
+        val violation = col(tsCol).isNotNull && !dayStr.isin(allowed: _*)
+        prepared.observe(guardObs, count(when(violation, lit(1))).as("violations"))
+      } else prepared
 
     val lineageRows = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long)]()
     val t0 = System.nanoTime()
 
-    // one scan + one prepare feeds all four tier recomputes
+    // one scan + one prepare feeds the 1m/1h/1d tier recomputes
     allRows.cache()
+    val contractViolations: Long =
+      if (!(exactGuard || memberGuard)) 0L
+      else {
+        allRows.count() // materializes the cache AND fires the observation
+        guardObs.get("violations").asInstanceOf[Long]
+      }
+    if (contractViolations > 0) {
+      allRows.unpersist()
+      newRows.unpersist()
+      throw new IllegalStateException(
+        s"ContinuousRollup prepare-contract violation: $contractViolations rows stored under a real " +
+          "part_day changed their partition-deciding day in prepare; their new day's partitions would " +
+          "silently recompute without them. Repair partition-deciding timestamps only for rows stored " +
+          "under suspect days (see `suspectDay`), or maintain those repairs externally."
+      )
+    }
+    val tierRows = if (exactGuard) allRows.drop(StoredDayCol) else allRows
 
     Tiers.All.foreach { tier =>
       val touched = newRows.select(partKeyOfPoint(tsCol, tier).as("part_key")).distinct()
-      val affected = allRows
-        .withColumn("part_key", partKeyOfPoint(tsCol, tier))
-        .join(broadcast(touched), Seq("part_key"), "left_semi")
+      val recomputed0 = tier match {
+        case "1m" | "1h" =>
+          val affected = tierRows
+            .withColumn("part_key", partKeyOfPoint(tsCol, tier))
+            .join(broadcast(touched), Seq("part_key"), "left_semi")
+          Rollup.fromRaw(affected, series, tsCol, tier, sizeCol, langCol = langCol)
+        case "1d" =>
+          // the 1d touched days are exactly the 1h touched days, and
+          // those 1h partitions were just rewritten — re-rollup them
+          // (associative measures; RollupSpec pins fromRaw == reRollup)
+          val finer = spark.read
+            .parquet(tierPath(tiersRoot, "1h"))
+            .filter(col("part_key").isin(days.toSeq.map(java.sql.Date.valueOf): _*))
+            .drop("part_key")
+          Rollup.reRollup(finer, series, "1h" -> "1d")
+        case "30d" =>
+          // a touched 30d window re-rolls up its day span from the 1d
+          // TIER (days outside this batch were written by earlier
+          // updates) — the raw read stays pruned to the touched days.
+          // Literal day list => static partition pruning at the scan.
+          val finer = spark.read
+            .parquet(tierPath(tiersRoot, "1d"))
+            .filter(col("part_key").isin(windowSpanDays.map(java.sql.Date.valueOf): _*))
+            .drop("part_key")
+          Rollup.reRollup(finer, series, "1d" -> "30d")
+      }
       // cluster rows by their output partition before the partitioned
       // write: otherwise every shuffle task holds rows of every
       // part_key and the write fans out |tasks| × |partitions| tiny
-      // files. Range-partitioning on (part_key, series) instead of
-      // hash-on-part_key keeps the clustering AND splits a hot
-      // partition (e.g. one day holding most of a Zipf-skewed
-      // domain's points) across multiple writer tasks by series
-      // range — no single-writer bottleneck, file count still
-      // bounded by the range bucket count
-      val recomputed = Rollup
-        .fromRaw(affected, series, tsCol, tier, sizeCol, langCol = langCol)
-        .withColumn("part_key", partKeyOfBucket(tier))
-        .repartitionByRange((col("part_key") +: series.map(col)): _*)
+      // files. The fine tiers range-partition on (part_key, series):
+      // clustering plus hot-partition splitting by series range (one
+      // Zipf-hot day never bottlenecks a single writer). The coarse
+      // tiers (1d/30d) are re-rollups of already-tiny tier rows, where
+      // range-partitioning's sampling job costs more than the write —
+      // hash-cluster those on part_key instead.
+      val recomputed = tier match {
+        case "1m" | "1h" =>
+          recomputed0
+            .withColumn("part_key", partKeyOfBucket(tier))
+            .repartitionByRange((col("part_key") +: series.map(col)): _*)
+        case _ =>
+          recomputed0
+            .withColumn("part_key", partKeyOfBucket(tier))
+            .repartition(col("part_key"))
+      }
       val path = tierPath(tiersRoot, tier)
       val exists = Files.exists(Paths.get(path))
       val out = recomputed.cache()
@@ -201,8 +341,17 @@ object ContinuousRollup {
       .write
       .mode("append")
       .parquet(s"$tiersRoot/_lineage")
-    Seq((to, (System.nanoTime() - t0) / 1e9, java.time.Instant.now.toString, dirsRead, dirsTotal))
-      .toDF("applied_snapshot", "update_seconds", "wall_clock", "source_dirs_read", "source_dirs_total")
+    Seq(
+      (to, (System.nanoTime() - t0) / 1e9, java.time.Instant.now.toString, dirsRead, dirsTotal, contractViolations)
+    )
+      .toDF(
+        "applied_snapshot",
+        "update_seconds",
+        "wall_clock",
+        "source_dirs_read",
+        "source_dirs_total",
+        "contract_violations"
+      )
       .write
       .mode("append")
       .parquet(s"$tiersRoot/_metrics")

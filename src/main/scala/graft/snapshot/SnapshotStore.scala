@@ -140,13 +140,26 @@ object SnapshotStore {
     * update, never concurrently with readers of ranges that start
     * below `upTo` — incremental consumers must have their applied
     * marker at `upTo` or later, since per-snapshot diff granularity
-    * below the rebase point is gone afterwards.
+    * below the rebase point is gone afterwards. That precondition is
+    * ENFORCED when the consumers' tier roots are passed: compaction
+    * refuses to rebase past any consumer's `_applied` marker (a
+    * violated consumer would hit the erased-diff `require` on every
+    * future update with no recovery short of rebuilding its tiers).
     */
-  def compact(spark: SparkSession, root: String, upTo: Long): Unit = {
+  def compact(spark: SparkSession, root: String, upTo: Long, consumerTiersRoots: Seq[String] = Nil): Unit = {
     require(
       upTo <= currentSnapshotId(root),
       s"cannot compact through snapshot $upTo: current is ${currentSnapshotId(root)}"
     )
+    consumerTiersRoots.foreach { tr =>
+      val applied = ContinuousRollup.lastApplied(tr)
+      require(
+        applied >= upTo,
+        s"cannot compact through snapshot $upTo: consumer '$tr' has only applied $applied — " +
+          "its next update would need diff granularity the rebase erases. Run its update first " +
+          "or compact to a smaller upTo."
+      )
+    }
     val ids = snapshotIds(root).filter(id => id > 0 && id <= upTo)
     require(ids.nonEmpty, s"nothing to compact up to snapshot $upTo in $root")
     // crash leftover from a previous attempt: the compacted dir only

@@ -74,22 +74,24 @@ class SnapshotSpec extends SparkSpec {
     SnapshotStore.append(root, b2, tsCol = Some("ts"))
     ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L))
 
-    // the second update must NOT have read snapshot-1 files outside the
-    // touched partitions: 2024-01-28 touches only the epoch-anchored
-    // 30d window starting 2024-01-18, so days 01-01..01-17 stay closed
+    // the second update reads EXACTLY the touched day's raw files —
+    // no 30d-window fan-out: the 30d tier re-rolls up from the 1d
+    // tier, never from raw days outside the batch. Snapshot 1 has no
+    // part_day=2024-01-28 dir (b1 excluded it), so exactly ONE raw
+    // dir is opened out of 30.
     val m = spark.read
       .parquet(s"$tiers/_metrics")
       .filter(col("applied_snapshot") === 2)
       .select("source_dirs_read", "source_dirs_total")
       .head()
-    assert(m.getInt(0) < m.getInt(1), s"expected pruning, read ${m.getInt(0)}/${m.getInt(1)} dirs")
-    // exact file listing: wanted = {01-28} + its 30d window span
-    val wanted = (0 until 30).map(i => java.time.LocalDate.parse("2024-01-18").plusDays(i.toLong).toString).toSet + "2024-01-28"
-    val dirs = SnapshotStore.resolveDirs(root, 0L, 2L, Some(wanted), ContinuousRollup.defaultSuspectDay)
+    assert(m.getInt(0) == 1, s"expected exactly the touched day, read ${m.getInt(0)}/${m.getInt(1)} dirs")
+    assert(m.getInt(1) == 30, s"expected 30 total dirs, got ${m.getInt(1)}")
+    // exact file listing: the update's needed set is just {01-28}
+    val dirs = SnapshotStore.resolveDirs(root, 0L, 2L, Some(Set("2024-01-28")), ContinuousRollup.defaultSuspectDay)
     assert(dirs.nonEmpty)
     dirs.foreach { d =>
       val day = d.substring(d.lastIndexOf("part_day=") + "part_day=".length)
-      assert(day >= "2024-01-18" && day <= "2024-01-30", s"unexpected dir read: $d")
+      assert(day == "2024-01-28", s"unexpected dir read: $d")
     }
 
     // and the tiers must still equal the one-shot recompute exactly
@@ -140,6 +142,66 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("a prepare that moves rows off their stored day fails loudly (exact guard)") {
+    val root = tmpDir("snap_contract_a")
+    val tiers = tmpDir("snap_contract_a_tiers")
+    SnapshotStore.append(root, events, tsCol = Some("ts"))
+    // withColumn-style prepare keeps unknown columns -> the stored-day
+    // column survives and the per-row exact guard fires
+    val shift: DataFrame => DataFrame =
+      df => df.withColumn("ts", col("ts") + expr("interval 1 day"))
+    val e = intercept[IllegalStateException] {
+      ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L), prepare = shift)
+    }
+    assert(e.getMessage.contains("prepare-contract violation"))
+    // nothing was applied or written
+    assert(ContinuousRollup.lastApplied(tiers) == 0L)
+    assert(!Files.exists(Paths.get(tiers, "tier_1h")))
+  }
+
+  test("a schema-projecting prepare that moves old rows out of the needed days fails (membership guard)") {
+    val root = tmpDir("snap_contract_b")
+    val tiers = tmpDir("snap_contract_b_tiers")
+    val cols = events.columns.map(col).toSeq
+    // batch 1: even ids, full month, folded with a conforming prepare
+    SnapshotStore.append(root, events.filter(col("event_id") % 2 === 0), tsCol = Some("ts"))
+    val conform: DataFrame => DataFrame = df => df.select(cols: _*)
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L), prepare = conform)
+    // batch 2: odd ids of two days only
+    SnapshotStore.append(
+      root,
+      events.filter(col("event_id") % 2 === 1 && to_date(col("ts")).isin("2024-01-10", "2024-01-28")),
+      tsCol = Some("ts")
+    )
+    // violating prepare: shifts only OLD (even-id) rows of day 01-10
+    // by +40 days, then projects to the fixed schema (drops the
+    // stored-day column) -> the fallback membership guard must catch
+    // rows escaping the needed-day set {01-10, 01-28}
+    val violate: DataFrame => DataFrame = df =>
+      df.withColumn(
+        "ts",
+        when(
+          to_date(col("ts")) === "2024-01-10" && col("event_id") % 2 === 0,
+          col("ts") + expr("interval 40 days")
+        ).otherwise(col("ts"))
+      ).select(cols: _*)
+    val e = intercept[IllegalStateException] {
+      ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L), prepare = violate)
+    }
+    assert(e.getMessage.contains("prepare-contract violation"))
+    // a conforming update afterwards still lands exactly
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L), prepare = conform)
+    val want = fullTier(
+      events.filter(
+        col("event_id") % 2 === 0 ||
+          (col("event_id") % 2 === 1 && to_date(col("ts")).isin("2024-01-10", "2024-01-28"))
+      ),
+      "1h"
+    )
+    val got = ContinuousRollup.readTier(spark, tiers, "1h")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("compaction consolidates day files, preserves rows, and later diffs keep working") {
     val root = tmpDir("snap_compact")
     val tiers = tmpDir("snap_compact_tiers")
@@ -171,6 +233,22 @@ class SnapshotSpec extends SparkSpec {
       val want = fullTier(events.unionByName(extra), t)
       assert(got.except(want).isEmpty && want.except(got).isEmpty, s"tier $t mismatch after compaction")
     }
+  }
+
+  test("compaction refuses to rebase past a consumer's applied marker") {
+    val root = tmpDir("snap_compact_guard")
+    val tiers = tmpDir("snap_compact_guard_tiers")
+    SnapshotStore.append(root, events.filter(col("event_id") % 2 === 0), tsCol = Some("ts"))
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L)) // marker = 1
+    SnapshotStore.append(root, events.filter(col("event_id") % 2 === 1), tsCol = Some("ts")) // current = 2
+    // rebasing through 2 would erase the diff the consumer still needs
+    intercept[IllegalArgumentException] {
+      SnapshotStore.compact(spark, root, 2L, consumerTiersRoots = Seq(tiers))
+    }
+    // after the consumer catches up, the same compaction goes through
+    ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L))
+    SnapshotStore.compact(spark, root, 2L, consumerTiersRoots = Seq(tiers))
+    assert(ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L)) == 2L)
   }
 
   test("a stale manifest surviving a compaction crash never double-counts") {
