@@ -1,0 +1,367 @@
+package graft.correct
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic frozen-LLM-cache builder (SURVEY.md §2.8 M5/M6).
+  *
+  * The reference's LLM ensemble members answer every error cell from a
+  * sqlite cache keyed by cell (`src/helpers.py:152-213`); the cached
+  * answers were produced once by an LLM from two prompt families:
+  *
+  *   - llm_correction (`src/helpers.py:341-356`): up to 10 labeled
+  *     (error, correction) pairs of the SAME column, then the error
+  *     value — the model induces the column's transformation pattern
+  *     and replays it;
+  *   - llm_master (`src/helpers.py:358-373`): 5 serialized example
+  *     rows from the user-corrected error-free subset, then the error
+  *     row with an `<Error>` mask — the model fills the masked value
+  *     from row context;
+  *
+  * parsed by `llm_response_to_corrections` (`src/helpers.py:316-321`)
+  * into `{answer: exp(sum token_logprobs)}`, `<MV>` decoding to the
+  * empty string and `<NULL>` to no suggestion.
+  *
+  * This object populates the same cache relation DETERMINISTICALLY
+  * from exactly the information those prompts carry — nothing else,
+  * and no network:
+  *
+  *   - llm_correction becomes per-column PROGRAM INDUCTION over the
+  *     labeled pairs: a FlashFill-style rule ladder (strip constant
+  *     suffix/prefix, drop the trailing token, normalize the leading
+  *     number, whole-value map) scored by how many labeled pairs the
+  *     program reproduces; the winning program compiles to a pure
+  *     Catalyst expression applied to every non-empty error value of
+  *     the column (the reference skips '' errors the same way,
+  *     `src/correction.py:612-613`).
+  *   - llm_master becomes SHAPE-GUIDED TOKEN FILL: the example rows
+  *     give each column a majority character-shape; an error cell is
+  *     answered when exactly one whitespace token elsewhere in its own
+  *     (dirty) row carries that shape. Scope is restricted to cells
+  *     whose error value is empty — the genuinely-missing case where
+  *     row context is the only signal; transformation cells are
+  *     llm_correction's job.
+  *
+  * The induced confidence (fraction of labeled pairs reproduced /
+  * majority-shape frequency) stands in for `exp(sum token_logprobs)`.
+  *
+  * Scale shape: induction sees only the labeled pairs (≤ labeling
+  * budget × columns — driver-side by construction, like the
+  * reference's prompt assembly); application is pure Catalyst over the
+  * error-cell relation. llm_master's example table is ≤ `maxExamples`
+  * rows (broadcast), and the token fan-out is |empty-error cells| ×
+  * row width — proportional to errors, never to the table.
+  */
+object PseudoLlm {
+
+  /** One induced string-transformation program: `apply` is the Scala
+    * twin used to score induction consistency on the driver, `expr`
+    * the Catalyst compilation applied to the error-cell relation.
+    * Both must agree (PseudoLlmSpec pins parity).
+    */
+  sealed trait Program {
+    def apply(s: String): Option[String]
+    def expr(c: Column): Column
+  }
+
+  /** error = correction + s for every labeled pair. */
+  final case class StripSuffix(s: String) extends Program {
+    def apply(v: String): Option[String] =
+      if (v.endsWith(s) && v.length > 0) Some(v.dropRight(s.length)) else None
+    def expr(c: Column): Column =
+      when(c.endsWith(s), c.substr(lit(1), length(c) - s.length))
+  }
+
+  /** error = s + correction for every labeled pair. */
+  final case class StripPrefix(s: String) extends Program {
+    def apply(v: String): Option[String] =
+      if (v.startsWith(s) && v.length > 0) Some(v.drop(s.length)) else None
+    def expr(c: Column): Column =
+      when(c.startsWith(s), c.substr(lit(1 + s.length), length(c)))
+  }
+
+  /** correction = error minus its trailing whitespace-separated token
+    * (the "city NC" -> "city" family).
+    */
+  case object DropLastToken extends Program {
+    private val re = "\\s+\\S+$"
+    def apply(v: String): Option[String] = {
+      val out = v.replaceAll(re, "")
+      if (out != v && out.nonEmpty) Some(out) else None
+    }
+    def expr(c: Column): Column = {
+      val out = regexp_replace(c, re, "")
+      when(out =!= c && out =!= "", out)
+    }
+  }
+
+  private def stripZerosScala(n: String): String =
+    if (n.contains('.')) n.replaceAll("0+$", "").replaceAll("\\.$", "") else n
+
+  private def stripZerosExpr(n: Column): Column =
+    when(n.contains("."), regexp_replace(regexp_replace(n, "0+$", ""), "\\.$", "")).otherwise(n)
+
+  private val LeadingNumber = "^([0-9]+(\\.[0-9]+)?)"
+
+  private def leadingNumber(v: String): Option[String] = {
+    val m = java.util.regex.Pattern.compile(LeadingNumber).matcher(v)
+    if (m.find() && m.group(1).nonEmpty) Some(m.group(1)) else None
+  }
+
+  /** correction = the error's leading decimal number with trailing
+    * fractional zeros (and a bare trailing dot) dropped — the
+    * "12.0 oz" -> "12", "8.4 ounce" -> "8.4" family.
+    */
+  case object NumericNormalize extends Program {
+    def apply(v: String): Option[String] = leadingNumber(v).map(stripZerosScala)
+    def expr(c: Column): Column = {
+      val n = regexp_extract(c, LeadingNumber, 1)
+      when(n =!= "", stripZerosExpr(n))
+    }
+  }
+
+  /** correction = the error's leading decimal number rounded
+    * (HALF_UP) to `k` decimals, zeros stripped — the float-repr-noise
+    * family ("0.052000000000000005%" -> "0.052"); `k` is induced as
+    * the max decimal places over the numeric labeled corrections, the
+    * way an LLM mimics its examples' output precision. Values with
+    * > 20 integer digits fall through (the Catalyst twin computes in
+    * decimal(38,18); parity demands the same refusal).
+    */
+  final case class RoundToDecimals(k: Int) extends Program {
+    def apply(v: String): Option[String] =
+      leadingNumber(v).filter(n => n.takeWhile(_ != '.').length <= 20).map { n =>
+        val bd = new java.math.BigDecimal(n)
+          .setScale(18, java.math.RoundingMode.HALF_UP)
+          .setScale(k, java.math.RoundingMode.HALF_UP)
+        stripZerosScala(bd.toPlainString)
+      }
+    def expr(c: Column): Column = {
+      val n = regexp_extract(c, LeadingNumber, 1)
+      val ok = n =!= "" && length(regexp_extract(n, "^([0-9]+)", 1)) <= 20
+      val rounded = round(n.cast(org.apache.spark.sql.types.DecimalType(38, 18)), k).cast("string")
+      when(ok, stripZerosExpr(rounded))
+    }
+  }
+
+  /** Fallback: replay exact labeled errors (the LLM always reproduces
+    * an example it was shown verbatim).
+    */
+  final case class WholeValueMap(m: Map[String, String]) extends Program {
+    def apply(v: String): Option[String] = m.get(v)
+    def expr(c: Column): Column =
+      m.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+        when(c === k, lit(v)).otherwise(acc)
+      }
+  }
+
+  /** Induce programs for one column's labeled pairs: the rule ladder
+    * above, scored by the fraction of pairs reproduced, kept when the
+    * ratio reaches `minRatio`, and ordered by (ratio desc, ladder).
+    * The ladder puts the semantic normalizer before the constant
+    * suffix/prefix strippers ON PURPOSE: when both explain every
+    * labeled pair (beers' "0.045%" -> "0.045"), the general program is
+    * what the LLM induces — a constant stripper silently emits
+    * "0.070" where the answer is "0.07" and covers none of the unit
+    * variants the labels didn't sample ("16.0 ounce" vs ".0 oz").
+    */
+  def induceAll(pairs: Seq[(String, String)], minRatio: Double = 0.5): Seq[(Program, Double)] = {
+    val usable = pairs.filter(_._1.nonEmpty).distinct
+    if (usable.isEmpty) return Nil
+    val suffixes = usable.collect {
+      case (e, c) if e.startsWith(c) && e.length > c.length => e.substring(c.length)
+    }.distinct.sorted
+    val prefixes = usable.collect {
+      case (e, c) if e.endsWith(c) && e.length > c.length => e.substring(0, e.length - c.length)
+    }.distinct.sorted
+    // rounding precision mimicked from the numeric corrections, like
+    // the LLM mimics its examples' output format. A precise decimal
+    // format (k >= 2, beers' "0.045") indicates fixed precision, so
+    // rounding outranks plain normalization on ties — that is what
+    // repairs float-repr noise ("0.052000000000000005%" -> "0.052")
+    // the clean labeled sample never showed. Integer/one-decimal
+    // corrections carry no such signal; there plain normalization
+    // ranks first and rounding only catches its fall-through.
+    val numericCorrections = usable.map(_._2).filter(_.matches("[0-9]+(\\.[0-9]+)?"))
+    val roundProgram = numericCorrections match {
+      case Nil => Nil
+      case cs  => Seq(RoundToDecimals(cs.map(c => c.dropWhile(_ != '.').drop(1).length).max))
+    }
+    val numericLadder =
+      if (roundProgram.exists { case RoundToDecimals(k) => k >= 2; case _ => false })
+        roundProgram ++ Seq(NumericNormalize)
+      else Seq(NumericNormalize) ++ roundProgram
+    val ladder: Seq[Program] =
+      numericLadder ++ suffixes.map(StripSuffix) ++ prefixes.map(StripPrefix) ++
+        Seq(DropLastToken, WholeValueMap(usable.toMap))
+    val scored = ladder.zipWithIndex.map { case (p, i) =>
+      (p, usable.count { case (e, c) => p(e).contains(c) }.toDouble / usable.size, i)
+    }
+    scored
+      .filter(_._2 >= math.max(minRatio, 1e-9))
+      .sortBy { case (_, ratio, i) => (-ratio, i) }
+      .map { case (p, ratio, _) => (p, ratio) }
+  }
+
+  /** The single best induced program (head of `induceAll`). */
+  def induce(pairs: Seq[(String, String)]): Option[(Program, Double)] =
+    induceAll(pairs).headOption
+
+  /** Labeled (error, correction) pairs per column, exactly as the
+    * reference assembles them (`src/correction.py:592-608`): a cell
+    * contributes iff it is both detected and labeled and its error
+    * value is non-empty.
+    */
+  def labeledPairsByColumn(detected: DataFrame, userLabels: DataFrame): Map[String, Seq[(String, String)]] =
+    detected
+      .join(userLabels, Seq("row_id", "col"))
+      .select("col", "error_value", "clean_value")
+      .collect()
+      .map(r =>
+        (r.getString(0), (Option(r.getString(1)).getOrElse(""), Option(r.getString(2)).getOrElse("")))
+      )
+      .filter(_._2._1.nonEmpty)
+      .groupBy(_._1)
+      .map { case (c, xs) => c -> xs.map(_._2).toSeq.sortBy(p => (p._1, p._2)) }
+
+  /** The llm_correction member of the frozen cache: per-column induced
+    * programs replayed over every non-empty error value. Returns the
+    * cache relation (row_id, col, corrector, candidate, score).
+    */
+  def llmCorrectionCache(detected: DataFrame, userLabels: DataFrame): DataFrame = {
+    val programs: Map[String, Seq[(Program, Double)]] =
+      labeledPairsByColumn(detected, userLabels).flatMap { case (c, pairs) =>
+        val ps = induceAll(pairs)
+        if (ps.isEmpty) None else Some(c -> ps)
+      }
+    val errVal = coalesce(col("error_value"), lit(""))
+    // per cell: the first applicable program in (ratio desc, ladder)
+    // order answers — an LLM answers every prompt it can, so a value
+    // the top program doesn't match falls through to the next.
+    // One when/coalesce chain over the bounded column set — a single
+    // codegen'd projection, no UDF
+    def colAnswer(ps: Seq[(Program, Double)]): Column =
+      coalesce(ps.map { case (p, _) => p.expr(errVal) }: _*)
+    def colScore(ps: Seq[(Program, Double)]): Column =
+      coalesce(ps.map { case (p, ratio) => when(p.expr(errVal).isNotNull, lit(ratio)) }: _*)
+    val answer = programs.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (c, ps)) => when(col("col") === c, colAnswer(ps)).otherwise(acc)
+    }
+    val score = programs.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (c, ps)) => when(col("col") === c, colScore(ps)).otherwise(acc)
+    }
+    detected
+      .filter(errVal =!= "")
+      .select(
+        col("row_id"),
+        col("col"),
+        lit("llm_correction").as("corrector"),
+        answer.as("candidate"),
+        score.as("score")
+      )
+      .filter(col("candidate").isNotNull && col("candidate") =!= errVal)
+  }
+
+  /** Character shape of a value: uppercase -> U, lowercase -> l,
+    * digit -> d, everything else verbatim. Length-sensitive on
+    * purpose ("NC" and "IPA" differ).
+    */
+  private def shapeOf(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c, "[A-Z]", "U"), "[a-z]", "l"), "[0-9]", "d")
+
+  /** The llm_master member of the frozen cache: shape-guided token
+    * fill for cells whose error value is empty. Example rows = rows
+    * without any detected error plus the labeled rows with their
+    * labels applied (the reference's user-corrected clean subset,
+    * `src/correction.py:562-567`), capped deterministically at
+    * `maxExamples`.
+    */
+  def llmMasterCache(
+      df: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      detected: DataFrame,
+      userLabels: DataFrame,
+      maxExamples: Int = 100
+  ): DataFrame = {
+    val errorRows = detected.select("row_id").distinct()
+    val labeledRows = userLabels.select("row_id").distinct()
+    val base = df.select(col(rowId).as("row_id") +: cols.map(col): _*)
+    val cleanRows = base.join(errorRows, Seq("row_id"), "left_anti")
+    val corrected = Cells.applyCorrections(
+      base.join(labeledRows, Seq("row_id")),
+      userLabels.select(col("row_id"), col("col"), col("clean_value").as("value")),
+      "row_id",
+      cols
+    )
+    val examples = cleanRows
+      .unionByName(corrected)
+      .orderBy(xxhash64(col("row_id")), col("row_id"))
+      .limit(maxExamples)
+
+    // per-column majority shape + its frequency among the examples
+    val exShapes = examples
+      .select(cols.map(c => shapeOf(coalesce(col(c), lit(""))).as(c)): _*)
+      .collect()
+    if (exShapes.isEmpty) return Correctors.emptySuggestions(df.sparkSession)
+    val majority: Map[String, (String, Double)] = cols.zipWithIndex.flatMap { case (c, i) =>
+      val shapes = exShapes.map(_.getString(i)).filter(_.nonEmpty)
+      if (shapes.isEmpty) None
+      else {
+        val (shape, cnt) = shapes.groupBy(identity).view.mapValues(_.length).toSeq.maxBy { case (s, n) =>
+          (n, s)
+        }
+        Some(c -> (shape, cnt.toDouble / shapes.length))
+      }
+    }.toMap
+
+    // candidate tokens: every whitespace token of the row's OTHER
+    // columns whose shape equals the error column's majority shape;
+    // answer only when exactly one distinct token qualifies
+    val emptyErrors = detected
+      .filter(coalesce(col("error_value"), lit("")) === "")
+      .select("row_id", "col")
+    val rowTokens = base
+      .join(emptyErrors.select("row_id").distinct(), Seq("row_id"))
+      .select(
+        col("row_id"),
+        explode(
+          array(cols.map(c => struct(lit(c).as("src_col"), coalesce(col(c), lit("")).as("value"))): _*)
+        ).as("cell")
+      )
+      .select(col("row_id"), col("cell.src_col").as("src_col"), explode(split(col("cell.value"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("token_shape", shapeOf(col("token")))
+    val shapeRows = majority.toSeq.sortBy(_._1).map { case (c, (s, r)) => (c, s, r) }
+    val shapesDf = df.sparkSession
+      .createDataFrame(shapeRows)
+      .toDF("col", "majority_shape", "shape_ratio")
+    emptyErrors
+      .join(broadcast(shapesDf), Seq("col"))
+      .join(rowTokens, Seq("row_id"))
+      .filter(col("src_col") =!= col("col") && col("token_shape") === col("majority_shape"))
+      .groupBy("row_id", "col", "shape_ratio")
+      .agg(collect_set(col("token")).as("cands"))
+      .filter(size(col("cands")) === 1)
+      .select(
+        col("row_id"),
+        col("col"),
+        lit("llm_master").as("corrector"),
+        element_at(col("cands"), 1).as("candidate"),
+        col("shape_ratio").as("score")
+      )
+  }
+
+  /** Both cache members, union'd — the frozen cache table to route
+    * through `Cleaning.run(cache = ...)`.
+    */
+  def cache(
+      df: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      detected: DataFrame,
+      userLabels: DataFrame
+  ): DataFrame =
+    llmCorrectionCache(detected, userLabels)
+      .unionByName(llmMasterCache(df, rowId, cols, detected, userLabels))
+}

@@ -1,0 +1,125 @@
+package graft.correct
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Program-induction + cache-builder tests for the deterministic
+  * pseudo-LLM (M5/M6 frozen-cache population). Pin: (a) the rule
+  * ladder induces the expected program per beers-shaped column,
+  * (b) the Scala twin and the Catalyst compilation agree on every
+  * program, (c) the shape-guided llm_master fill answers exactly the
+  * unambiguous empty-error cells.
+  */
+class PseudoLlmSpec extends SparkSpec {
+
+  import PseudoLlm._
+
+  test("induction ladder: beers-shaped columns get the right program at ratio 1.0") {
+    // abv: '%' suffix, numeric normalization AND precision rounding
+    // all explain the pairs; the precise-decimal format (k=3) makes
+    // rounding win, which is what repairs float-repr noise the
+    // labeled sample never showed
+    val abv = induce(Seq(("0.045%", "0.045"), ("0.07%", "0.07"), ("0.09%", "0.09"))).get
+    assert(abv._1 == RoundToDecimals(3) && abv._2 == 1.0)
+    assert(abv._1("0.052000000000000005%").contains("0.052"))
+    assert(induceAll(Seq(("0.045%", "0.045"), ("0.07%", "0.07"))).map(_._1).contains(StripSuffix("%")))
+    // ounces: varied unit suffixes -> numeric normalization wins
+    val oz = induce(Seq(("12.0 oz", "12"), ("16.0 ounce", "16"), ("8.4 ounce", "8.4"), ("12.0 OZ.", "12"))).get
+    assert(oz._1 == NumericNormalize && oz._2 == 1.0)
+    // city: trailing state token
+    val city = induce(Seq(("Asheville NC", "Asheville"), ("Denton TX", "Denton"), ("Saint Louis MO", "Saint Louis"))).get
+    assert(city._1 == DropLastToken && city._2 == 1.0)
+    // ibu: constant error value to missing
+    val ibu = induce(Seq(("N/A", ""), ("N/A", ""))).get
+    assert(ibu._1(("N/A")).contains("") && ibu._2 == 1.0)
+    // empty errors contribute nothing
+    assert(induce(Seq(("", "CA"))).isEmpty)
+  }
+
+  test("program Scala twin == Catalyst compilation on a value grid") {
+    val programs: Seq[Program] = Seq(
+      StripSuffix("%"),
+      StripSuffix(" oz"),
+      StripPrefix("$"),
+      DropLastToken,
+      NumericNormalize,
+      RoundToDecimals(0),
+      RoundToDecimals(3),
+      WholeValueMap(Map("N/A" -> "", "?" -> "unknown"))
+    )
+    val values =
+      Seq("0.045%", "12.0 oz", "$5", "Asheville NC", "12.0", "19.20", "0.045", "N/A", "?", "x", "", "12.", "a b c", "  ", "%", "0.052000000000000005%", "7.5 ml", "123456789012345678901.5")
+    val df = spark.createDataFrame(values.map(Tuple1(_))).toDF("v")
+    for (p <- programs) {
+      val got = df
+        .select(col("v"), p.expr(col("v")).as("out"))
+        .collect()
+        .map(r => r.getString(0) -> Option(r.getString(1)))
+        .toMap
+      for (v <- values)
+        assert(got(v) == p(v), s"$p on '$v': catalyst ${got(v)} vs scala ${p(v)}")
+    }
+  }
+
+  test("llm_correction cache replays the induced program over unlabeled errors") {
+    import spark.implicits._
+    val detected = Seq(
+      (1L, "price", "12.0 oz"),
+      (2L, "price", "16.0 ounce"),
+      (3L, "price", "8.4 oz."),
+      (4L, "price", ""), // empty error value: never prompted
+      (1L, "tag", "N/A")
+    ).toDF("row_id", "col", "error_value")
+    val labels = Seq(
+      (1L, "price", "12"),
+      (2L, "price", "16"),
+      (1L, "tag", "")
+    ).toDF("row_id", "col", "clean_value")
+    val cache = llmCorrectionCache(detected, labels)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getString(3), r.getDouble(4)))
+      .toMap
+    assert(cache((3L, "price")) == ("8.4", 1.0)) // unlabeled cell answered by induction
+    assert(cache((1L, "tag")) == ("", 1.0)) // missing-value decode
+    assert(!cache.contains((4L, "price")))
+  }
+
+  test("program chaining: a cell the top program cannot answer falls through to the next") {
+    import spark.implicits._
+    // pairs induce NumericNormalize (1.0); "N/A" has no leading number
+    // but the whole-value map (also 1.0, later in the ladder) knows it
+    val detected = Seq(
+      (1L, "x", "12.0 oz"),
+      (2L, "x", "N/A"),
+      (3L, "x", "7.5 ml")
+    ).toDF("row_id", "col", "error_value")
+    val labels = Seq((1L, "x", "12"), (2L, "x", "N/A2")).toDF("row_id", "col", "clean_value")
+    val cache = llmCorrectionCache(detected, labels)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(3))
+      .toMap
+    assert(cache((3L, "x")) == "7.5")
+    assert(cache((2L, "x")) == "N/A2")
+  }
+
+  test("llm_master shape fill answers exactly the unambiguous empty-error cells") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Bend", "OR", "a"),
+      (2L, "Gary", "IN", "b"),
+      (3L, "Asheville NC", "", "c"), // state missing, city holds the token
+      (4L, "Denton TX Y", "", "d") // ambiguous: no 2-letter uppercase... TX and Y -> Y is 1 letter, unambiguous TX
+    ).toDF("row_id", "city", "state", "misc")
+    val detected = Seq(
+      (3L, "state", ""),
+      (4L, "state", "")
+    ).toDF("row_id", "col", "error_value")
+    val labels = Seq.empty[(Long, String, String)].toDF("row_id", "col", "clean_value")
+    val out = llmMasterCache(df, "row_id", Seq("city", "state", "misc"), detected, labels)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(3))
+      .toMap
+    assert(out((3L, "state")) == "NC")
+    assert(out((4L, "state")) == "TX")
+  }
+}
