@@ -122,7 +122,9 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try noopRun(fn(spark, sfDir))
+      // cached results (lifecycle, LSH paths) release before the next
+      // query's timing starts; no-op for uncached results
+      try { val out = fn(spark, sfDir); noopRun(out); out.unpersist() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
@@ -132,7 +134,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"rollup_points_per_sec_per_executor","value":$pointsPerSec%.1f,"unit":"points/sec","metric_def":"(tier points + block rows) / (repair+tiers sec + block-build sec), best of 3 trials, definition unchanged since end of round 1","trials_sec":$trialsJson,"queries":$qs,"queries_total_sec":$total%.2f,"pages":$nPages,"rollup_points":$points,"rollup_sec":$rollupSec%.2f,"tier_points":$tierPoints,"tiers_sec":$tiersSec%.2f,"block_rows":$blockRows,"blocks_sec":$blocksSec%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"rollup_points_per_sec_per_executor","value":$pointsPerSec%.1f,"unit":"points/sec","metric_def":"(tier points + block rows) / (repair+tiers sec + block-build sec), best of 3 trials pre-suite; formula unchanged since round 1, but measurement protocol differs from round 1 (single trial post-suite) — cross-round comparisons carry protocol variance","trials_sec":$trialsJson,"queries":$qs,"queries_total_sec":$total%.2f,"pages":$nPages,"rollup_points":$points,"rollup_sec":$rollupSec%.2f,"tier_points":$tierPoints,"tiers_sec":$tiersSec%.2f,"block_rows":$blockRows,"blocks_sec":$blocksSec%.2f,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

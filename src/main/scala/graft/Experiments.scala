@@ -111,6 +111,8 @@ object Experiments {
     val m = Correctors.evaluate(corrections, actual)
     val n = detected.count()
     diff.unpersist()
+    // the run's result cache must not accumulate across a grid sweep
+    corrections.unpersist()
     (m("ec_f"), m("ec_p"), m("ec_r"), n)
   }
 

@@ -28,6 +28,10 @@ object Verify {
             a.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
               .cast(org.apache.spark.sql.types.TimestampNTZType)))
         cast.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // queries that return a cached result (lifecycle, LSH paths)
+        // must not accumulate storage across the 54-query sweep;
+        // no-op for uncached results
+        out.unpersist()
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

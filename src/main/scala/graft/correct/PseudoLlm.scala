@@ -144,6 +144,100 @@ object PseudoLlm {
     }
   }
 
+  /** correction = the error's leading decimal number formatted to
+    * EXACTLY `k` decimals (HALF_UP, trailing zeros kept) — the
+    * decimal-padding family ("1.5175" -> "1.51750"); induced when
+    * every numeric labeled correction shares the same scale `k`, the
+    * way an LLM mimics a uniform fixed-point output format.
+    */
+  final case class FormatDecimals(k: Int) extends Program {
+    def apply(v: String): Option[String] =
+      leadingNumber(v).filter(n => n.takeWhile(_ != '.').length <= 20).map { n =>
+        new java.math.BigDecimal(n).setScale(k, java.math.RoundingMode.HALF_UP).toPlainString
+      }
+    def expr(c: Column): Column = {
+      val n = regexp_extract(c, LeadingNumber, 1)
+      val ok = n =!= "" && length(regexp_extract(n, "^([0-9]+)", 1)) <= 20
+      // decimal cast rounds HALF_UP and keeps trailing zeros on the
+      // way back to string — parity with setScale above
+      when(ok, n.cast(org.apache.spark.sql.types.DecimalType(38, k)).cast("string"))
+    }
+  }
+
+  /** correction = error with every non-ASCII character deleted — the
+    * mojibake-scrub family ("G?riatrie" with combining marks ->
+    * "Griatrie"). Answers only when it changes the value.
+    */
+  case object StripNonAscii extends Program {
+    private val re = "[^\\x00-\\x7F]"
+    def apply(v: String): Option[String] = {
+      val out = v.replaceAll(re, "")
+      if (out != v) Some(out) else None
+    }
+    def expr(c: Column): Column = {
+      val out = regexp_replace(c, re, "")
+      when(out =!= c, out)
+    }
+  }
+
+  /** correction = the error's `sep`-separated tokens permuted and
+    * reformatted: output slot j takes input slot `outMap(j)._1` under
+    * format `outMap(j)._2` (0 = as-is, 1 = left-pad to 2 with '0',
+    * 2 = strip leading zeros). Induced from labeled pairs where the
+    * same (slot source, format) reproduces every pair — the
+    * rotated-date family ("4/2/15" -> "2/15/04" = slot1 as-is,
+    * slot2 unpadded, slot0 padded) and the swapped-token family
+    * ("Mar-22" -> "22-Mar").
+    */
+  private def fmtToken(s: String, f: Int): String = f match {
+    case 1 => if (s.length < 2) "0" + s else s
+    case 2 => s.replaceFirst("^0+(.)", "$1")
+    case _ => s
+  }
+
+  final case class TokenPermute(sep: String, n: Int, outMap: Seq[(Int, Int)]) extends Program {
+    def apply(v: String): Option[String] = {
+      val parts = v.split(java.util.regex.Pattern.quote(sep), -1)
+      if (parts.length != n) None
+      else Some(outMap.map { case (i, f) => fmtToken(parts(i), f) }.mkString(sep))
+    }
+    def expr(c: Column): Column = {
+      val parts = split(c, java.util.regex.Pattern.quote(sep), -1)
+      def slot(i: Int, f: Int): Column = {
+        val x = element_at(parts, i + 1)
+        f match {
+          case 1 => when(length(x) < 2, concat(lit("0"), x)).otherwise(x)
+          case 2 => regexp_replace(x, "^0+(.)", "$1")
+          case _ => x
+        }
+      }
+      val out = concat_ws(sep, outMap.map { case (i, f) => slot(i, f) }: _*)
+      when(size(parts) === n, out)
+    }
+  }
+
+  /** Induce TokenPermute programs for one separator: take the most
+    * common (error parts, correction parts) shape with >= 2 input
+    * tokens, then for every output slot find the first input slot and
+    * format that reproduce ALL shape-conforming pairs.
+    */
+  private[correct] def inducePermute(pairs: Seq[(String, String)], sep: String): Option[TokenPermute] = {
+    val q = java.util.regex.Pattern.quote(sep)
+    val split2 = pairs.map { case (e, c) => (e.split(q, -1).toSeq, c.split(q, -1).toSeq) }
+    val shapes = split2.map { case (e, c) => (e.length, c.length) }.filter(_._1 >= 2)
+    if (shapes.isEmpty) return None
+    val (n, m) = shapes.groupBy(identity).view.mapValues(_.length).toSeq.maxBy { case (s, cnt) => (cnt, s) }._1
+    val conforming = split2.filter { case (e, c) => e.length == n && c.length == m }
+    val outMap = (0 until m).map { j =>
+      (for {
+        i <- (0 until n).iterator
+        f <- Iterator(0, 1, 2)
+        if conforming.forall { case (e, c) => fmtToken(e(i), f) == c(j) }
+      } yield (i, f)).nextOption()
+    }
+    if (outMap.exists(_.isEmpty)) None else Some(TokenPermute(sep, n, outMap.map(_.get)))
+  }
+
   /** Fallback: replay exact labeled errors (the LLM always reproduces
     * an example it was shown verbatim).
     */
@@ -191,9 +285,19 @@ object PseudoLlm {
       if (roundProgram.exists { case RoundToDecimals(k) => k >= 2; case _ => false })
         roundProgram ++ Seq(NumericNormalize)
       else Seq(NumericNormalize) ++ roundProgram
+    // uniform correction scale (all numeric corrections share k >= 1
+    // decimals) indicates a FIXED-POINT output format: formatting
+    // (zeros kept) outranks the zero-stripping programs on ties
+    val scales = numericCorrections.map(c => c.dropWhile(_ != '.').drop(1).length)
+    val formatProgram =
+      if (scales.nonEmpty && scales.distinct.size == 1 && scales.head >= 1)
+        Seq(FormatDecimals(scales.head))
+      else Nil
+    val permutes = Seq("/", "-", " ").flatMap(sep => inducePermute(usable, sep))
     val ladder: Seq[Program] =
-      numericLadder ++ suffixes.map(StripSuffix) ++ prefixes.map(StripPrefix) ++
-        Seq(DropLastToken, WholeValueMap(usable.toMap))
+      formatProgram ++ numericLadder ++ permutes ++
+        suffixes.map(StripSuffix) ++ prefixes.map(StripPrefix) ++
+        Seq(DropLastToken, StripNonAscii, WholeValueMap(usable.toMap))
     val scored = ladder.zipWithIndex.map { case (p, i) =>
       (p, usable.count { case (e, c) => p(e).contains(c) }.toDouble / usable.size, i)
     }
@@ -212,7 +316,11 @@ object PseudoLlm {
     * contributes iff it is both detected and labeled and its error
     * value is non-empty.
     */
-  def labeledPairsByColumn(detected: DataFrame, userLabels: DataFrame): Map[String, Seq[(String, String)]] =
+  def labeledPairsByColumn(
+      detected: DataFrame,
+      userLabels: DataFrame,
+      includeEmpty: Boolean = false
+  ): Map[String, Seq[(String, String)]] =
     detected
       .join(userLabels, Seq("row_id", "col"))
       .select("col", "error_value", "clean_value")
@@ -220,7 +328,7 @@ object PseudoLlm {
       .map(r =>
         (r.getString(0), (Option(r.getString(1)).getOrElse(""), Option(r.getString(2)).getOrElse("")))
       )
-      .filter(_._2._1.nonEmpty)
+      .filter(includeEmpty || _._2._1.nonEmpty)
       .groupBy(_._1)
       .map { case (c, xs) => c -> xs.map(_._2).toSeq.sortBy(p => (p._1, p._2)) }
 
@@ -228,10 +336,14 @@ object PseudoLlm {
     * programs replayed over every non-empty error value. Returns the
     * cache relation (row_id, col, corrector, candidate, score).
     */
-  def llmCorrectionCache(detected: DataFrame, userLabels: DataFrame): DataFrame = {
+  def llmCorrectionCache(
+      detected: DataFrame,
+      userLabels: DataFrame,
+      skipColumns: Set[String] = Set.empty
+  ): DataFrame = {
     val programs: Map[String, Seq[(Program, Double)]] =
       labeledPairsByColumn(detected, userLabels).flatMap { case (c, pairs) =>
-        val ps = induceAll(pairs)
+        val ps = if (skipColumns(c)) Nil else induceAll(pairs)
         if (ps.isEmpty) None else Some(c -> ps)
       }
     val errVal = coalesce(col("error_value"), lit(""))
@@ -282,7 +394,9 @@ object PseudoLlm {
       cols: Seq[String],
       detected: DataFrame,
       userLabels: DataFrame,
-      maxExamples: Int = 100
+      maxExamples: Int = 100,
+      missingTokens: Map[String, String] = Map.empty,
+      fillConstants: Map[String, (String, Double)] = Map.empty
   ): DataFrame = {
     val errorRows = detected.select("row_id").distinct()
     val labeledRows = userLabels.select("row_id").distinct()
@@ -299,28 +413,62 @@ object PseudoLlm {
       .orderBy(xxhash64(col("row_id")), col("row_id"))
       .limit(maxExamples)
 
-    // per-column majority shape + its frequency among the examples
-    val exShapes = examples
-      .select(cols.map(c => shapeOf(coalesce(col(c), lit(""))).as(c)): _*)
+    // per-column example VALUES (for majority-constant fill) and
+    // majority shapes (for shape-guided token fill)
+    val exValues = examples
+      .select(cols.map(c => coalesce(col(c), lit("")).as(c)): _*)
       .collect()
-    if (exShapes.isEmpty) return Correctors.emptySuggestions(df.sparkSession)
-    val majority: Map[String, (String, Double)] = cols.zipWithIndex.flatMap { case (c, i) =>
-      val shapes = exShapes.map(_.getString(i)).filter(_.nonEmpty)
-      if (shapes.isEmpty) None
+    if (exValues.isEmpty) return Correctors.emptySuggestions(df.sparkSession)
+    def majorityBy(i: Int, xform: String => String): Option[(String, Double)] = {
+      val xs = exValues.map(r => xform(r.getString(i))).filter(_.nonEmpty)
+      if (xs.isEmpty) None
       else {
-        val (shape, cnt) = shapes.groupBy(identity).view.mapValues(_.length).toSeq.maxBy { case (s, n) =>
-          (n, s)
-        }
-        Some(c -> (shape, cnt.toDouble / shapes.length))
+        val (v, cnt) = xs.groupBy(identity).view.mapValues(_.length).toSeq.maxBy { case (s, n) => (n, s) }
+        Some((v, cnt.toDouble / xs.length))
       }
+    }
+    // constant fill per column, two sources in precedence order:
+    // (1) the labeled fill-style pairs all carry ONE correction (the
+    //     "every '' jvolumn label said -1" case) — `fillConstants`,
+    //     induced by `cache()` from the labels;
+    // (2) a column STRICTLY dominated by one example value gets that
+    //     value. Others fall back to shape fill.
+    val constFill: Map[String, (String, Double)] =
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        majorityBy(i, identity).filter(_._2 > 0.5).map(c -> _)
+      }.toMap ++ fillConstants
+    val majority: Map[String, (String, Double)] = cols.zipWithIndex.flatMap { case (c, i) =>
+      majorityBy(i, s => shapeOfScala(s)).map(c -> _)
     }.toMap
 
-    // candidate tokens: every whitespace token of the row's OTHER
-    // columns whose shape equals the error column's majority shape;
-    // answer only when exactly one distinct token qualifies
-    val emptyErrors = detected
-      .filter(coalesce(col("error_value"), lit("")) === "")
-      .select("row_id", "col")
+    // fill targets: cells whose error value is empty, or equals the
+    // column's constant missing-token ("?"-style markers — all labeled
+    // errors of the column carry the same token)
+    val errVal = coalesce(col("error_value"), lit(""))
+    val isMissing = missingTokens.foldLeft(errVal === "") { case (acc, (c, t)) =>
+      acc || (col("col") === c && errVal === t)
+    }
+    val fillTargets = detected.filter(isMissing).select("row_id", "col")
+    val constCols = constFill.keySet
+    val constRows = constFill.toSeq.sorted.map { case (c, (v, r)) => (c, v, r) }
+    val constAnswers =
+      if (constRows.isEmpty) Correctors.emptySuggestions(df.sparkSession)
+      else
+        fillTargets
+          .join(
+            broadcast(df.sparkSession.createDataFrame(constRows).toDF("col", "candidate", "score")),
+            Seq("col")
+          )
+          .select(
+            col("row_id"),
+            col("col"),
+            lit("llm_master").as("corrector"),
+            col("candidate"),
+            col("score")
+          )
+    val emptyErrors =
+      if (constCols.isEmpty) fillTargets
+      else fillTargets.filter(!col("col").isin(constCols.toSeq: _*))
     val rowTokens = base
       .join(emptyErrors.select("row_id").distinct(), Seq("row_id"))
       .select(
@@ -336,7 +484,7 @@ object PseudoLlm {
     val shapesDf = df.sparkSession
       .createDataFrame(shapeRows)
       .toDF("col", "majority_shape", "shape_ratio")
-    emptyErrors
+    val shapeAnswers = emptyErrors
       .join(broadcast(shapesDf), Seq("col"))
       .join(rowTokens, Seq("row_id"))
       .filter(col("src_col") =!= col("col") && col("token_shape") === col("majority_shape"))
@@ -350,7 +498,25 @@ object PseudoLlm {
         element_at(col("cands"), 1).as("candidate"),
         col("shape_ratio").as("score")
       )
+    constAnswers.unionByName(shapeAnswers)
   }
+
+  /** Scala twin of [[shapeOf]] for driver-side induction. */
+  private def shapeOfScala(s: String): String =
+    s.replaceAll("[A-Z]", "U").replaceAll("[a-z]", "l").replaceAll("[0-9]", "d")
+
+  /** Per-column constant missing-token: every labeled error of the
+    * column carries the SAME non-empty token while the corrections
+    * vary — a "?"-style marker. Those columns are llm_master's job
+    * (context fill), not a transformation to induce; the reference's
+    * llm_correction would only learn noise from them.
+    */
+  def missingTokensOf(pairsByCol: Map[String, Seq[(String, String)]]): Map[String, String] =
+    pairsByCol.flatMap { case (c, pairs) =>
+      val errs = pairs.map(_._1).distinct
+      val corrs = pairs.map(_._2).distinct
+      if (errs.size == 1 && pairs.size >= 2 && corrs.size > 1) Some(c -> errs.head) else None
+    }
 
   /** Both cache members, union'd — the frozen cache table to route
     * through `Cleaning.run(cache = ...)`.
@@ -361,7 +527,27 @@ object PseudoLlm {
       cols: Seq[String],
       detected: DataFrame,
       userLabels: DataFrame
-  ): DataFrame =
-    llmCorrectionCache(detected, userLabels)
-      .unionByName(llmMasterCache(df, rowId, cols, detected, userLabels))
+  ): DataFrame = {
+    val pairsAll = labeledPairsByColumn(detected, userLabels, includeEmpty = true)
+    val tokens = missingTokensOf(pairsAll.map { case (c, ps) => c -> ps.filter(_._1.nonEmpty) })
+    // fill-style labeled pairs ('' errors, or the column's constant
+    // missing token) that all agree on ONE correction: the fill answer
+    val fillConstants: Map[String, (String, Double)] = pairsAll.flatMap { case (c, ps) =>
+      val fillPairs = ps.filter(p => p._1.isEmpty || tokens.get(c).contains(p._1))
+      val corrs = fillPairs.map(_._2).distinct
+      if (fillPairs.nonEmpty && corrs.size == 1) Some(c -> (corrs.head, 1.0)) else None
+    }
+    llmCorrectionCache(detected, userLabels, skipColumns = tokens.keySet)
+      .unionByName(
+        llmMasterCache(
+          df,
+          rowId,
+          cols,
+          detected,
+          userLabels,
+          missingTokens = tokens,
+          fillConstants = fillConstants
+        )
+      )
+  }
 }

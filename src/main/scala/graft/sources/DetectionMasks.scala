@@ -39,6 +39,52 @@ object DetectionMasks {
       .filter(col("dataset_name") === datasetName && col("version") === version)
     require(masks.count() == 1, s"ambiguous or missing detection mask for ($datasetName, v$version) at $path")
 
+    joinPositions(masks, df, rowId, cols)
+  }
+
+  /** Load one of the reference's ACTUAL Raha detector runs
+    * (JSON files under `/root/reference/datasets/raha-detection-results`,
+    * loader semantics per reference `src/dataset.py:213-234`): each
+    * file is one JSON document with `dataset_name`, `version`,
+    * optionally discriminating `error_fraction` / `error_class`, and
+    * `detected_cells_index: [[row, col], ...]` positional into the
+    * dirty dataframe — exactly one document may match the requested
+    * combination. `dirty` must carry positional row ids
+    * (`StringCsv.readIndexed`) and `cols` the FULL CSV column list in
+    * file order, because the mask's column index counts every column.
+    */
+  def readRaha(
+      spark: SparkSession,
+      dir: String,
+      datasetName: String,
+      version: Long,
+      dirty: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      errorFraction: Option[Int] = None,
+      errorClass: Option[String] = None
+  ): DataFrame = {
+    val all = spark.read.option("multiLine", "true").json(dir)
+    val matched = Seq(
+      Some(col("dataset_name") === datasetName),
+      Some(col("version") === version),
+      errorFraction.map(f => col("error_fraction") === f),
+      errorClass.map(c => col("error_class") === c)
+    ).flatten.reduce(_ && _)
+    val masks = all.filter(matched)
+    require(
+      masks.count() == 1,
+      s"ambiguous or missing raha result for ($datasetName, v$version, ef=$errorFraction, class=$errorClass) at $dir"
+    )
+    joinPositions(masks, dirty, rowId, cols)
+  }
+
+  /** Explode a mask's positions and resolve them to
+    * `(row_id, col, error_value)` against the dirty table — the error
+    * value is the dirty cell at detection time
+    * (`detected_cells[pos] = dataframe.iloc[pos]`).
+    */
+  private def joinPositions(masks: DataFrame, df: DataFrame, rowId: String, cols: Seq[String]): DataFrame = {
     val pos = masks
       .select(explode(col("detected_cells_index")).as("p"))
       .select(

@@ -28,6 +28,29 @@ object StringCsv {
       reader.csv(path) // header-only inference: all columns default to string
   }
 
+  /** Read with a POSITIONAL `row_id` column (0-based file line order) —
+    * the cell-addressing contract of the reference's pandas index
+    * (`src/dataset.py:147-153`) and of the raha detection masks, which
+    * index rows by position. Only valid for a single file small enough
+    * to be one scan partition (fixture-sized tables); keyed tables at
+    * scale derive row identity from input keys instead (SURVEY.md §7).
+    */
+  def readIndexed(spark: SparkSession, path: String): DataFrame = {
+    // rows with absent trailing fields parse as null despite the
+    // nullValue pin — normalize to "" (keep_default_na=False parity)
+    val base = read(spark, path).na.fill("")
+    val rdd = base.rdd
+    require(
+      rdd.getNumPartitions == 1,
+      s"positional row ids need a single-partition read; $path split into ${rdd.getNumPartitions}"
+    )
+    val schema = StructType(StructField("row_id", org.apache.spark.sql.types.LongType) +: base.schema.fields)
+    spark.createDataFrame(
+      rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(i +: r.toSeq) },
+      schema
+    )
+  }
+
   /** Write preserving `""` as a QUOTED empty field — the reader's
     * `emptyValue` then restores `""` while unquoted empties stay the
     * (never-matching) null token's business. Spark's writer quotes the

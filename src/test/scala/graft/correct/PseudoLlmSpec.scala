@@ -36,6 +36,65 @@ class PseudoLlmSpec extends SparkSpec {
     assert(induce(Seq(("", "CA"))).isEmpty)
   }
 
+  test("induction ladder: glass-shaped decimal padding gets FormatDecimals") {
+    // corrections share scale 5 -> fixed-point formatting, zeros KEPT
+    val ri = induce(Seq(("1.5175", "1.51750"), ("1.519", "1.51900"), ("1.5232", "1.52320"))).get
+    assert(ri._1 == FormatDecimals(5) && ri._2 == 1.0)
+    assert(ri._1("1.5221").contains("1.52210"))
+    // mixed scales (beers abv) do NOT induce formatting
+    assert(!induceAll(Seq(("0.045%", "0.045"), ("0.07%", "0.07"))).map(_._1).exists(_.isInstanceOf[FormatDecimals]))
+  }
+
+  test("induction ladder: rayyan-shaped token rotations get TokenPermute") {
+    // the rotated-date family: (a,b,c) -> (b, unpad(c), pad2(a))
+    val pairs = Seq(
+      ("4/2/15", "2/15/04"),
+      ("12/1/06", "1/6/12"),
+      ("1/1/13", "1/13/01"),
+      ("10/1/15", "1/15/10")
+    )
+    val p = induce(pairs).get
+    assert(p._2 == 1.0, s"got $p")
+    assert(p._1("1/1/09").contains("1/9/01"))
+    assert(p._1("6/30/11").contains("30/11/06"))
+    assert(p._1("no slashes").isEmpty)
+    // the swapped-token family around '-'
+    val swap = induce(Seq(("Mar-22", "22-Mar"), ("Feb-14", "14-Feb"))).get
+    assert(swap._2 == 1.0 && swap._1("Jan-15").contains("15-Jan"))
+  }
+
+  test("induction ladder: mojibake deletion gets StripNonAscii") {
+    val pairs = Seq(
+      ("G̩riatrie et Psychologie", "Griatrie et Psychologie"),
+      ("nab���-paclitaxel", "nab-paclitaxel"),
+      ("Bjɦrkelund", "Bjrkelund")
+    )
+    val p = induce(pairs).get
+    assert(p._1 == StripNonAscii && p._2 == 1.0)
+    assert(p._1("plain ascii").isEmpty) // unchanged -> no answer
+  }
+
+  test("cache routing: constant missing-token columns skip induction; fill constants answer '' errors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "5"),
+      (2L, "b", ""),
+      (3L, "c", ""),
+      (4L, "d", "7")
+    ).toDF("row_id", "name", "vol")
+    val detected = Seq(
+      (2L, "vol", ""),
+      (3L, "vol", "")
+    ).toDF("row_id", "col", "error_value")
+    val labels = Seq((2L, "vol", "-1")).toDF("row_id", "col", "clean_value")
+    val out = cache(df, "row_id", Seq("name", "vol"), detected, labels)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getString(2), r.getString(3)))
+      .toMap
+    // the unlabeled '' cell gets the labeled constant correction
+    assert(out((3L, "vol")) == ("llm_master", "-1"))
+  }
+
   test("program Scala twin == Catalyst compilation on a value grid") {
     val programs: Seq[Program] = Seq(
       StripSuffix("%"),
@@ -45,10 +104,15 @@ class PseudoLlmSpec extends SparkSpec {
       NumericNormalize,
       RoundToDecimals(0),
       RoundToDecimals(3),
+      FormatDecimals(5),
+      FormatDecimals(1),
+      StripNonAscii,
+      TokenPermute("/", 3, Seq((1, 0), (2, 2), (0, 1))),
+      TokenPermute("-", 2, Seq((1, 0), (0, 0))),
       WholeValueMap(Map("N/A" -> "", "?" -> "unknown"))
     )
     val values =
-      Seq("0.045%", "12.0 oz", "$5", "Asheville NC", "12.0", "19.20", "0.045", "N/A", "?", "x", "", "12.", "a b c", "  ", "%", "0.052000000000000005%", "7.5 ml", "123456789012345678901.5")
+      Seq("0.045%", "12.0 oz", "$5", "Asheville NC", "12.0", "19.20", "0.045", "N/A", "?", "x", "", "12.", "a b c", "  ", "%", "0.052000000000000005%", "7.5 ml", "123456789012345678901.5", "4/2/15", "12/1/06", "0/0/00", "Mar-22", "a-b-c", "G̩riatrie", "café", "1.5175", "//", "--")
     val df = spark.createDataFrame(values.map(Tuple1(_))).toDF("v")
     for (p <- programs) {
       val got = df

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * hospital 0.960 — measured WITH the GPT-backed correctors. Floors
   * below pin what this engine reaches on the same data — measured
   * 2026-08-17: beers 0.544 LLM-free / 0.926 with the deterministic
-  * pseudo-LLM cache (A13) / 0.966 cache+meta-learner (ABOVE the
+  * pseudo-LLM cache (A13) / 0.999 cache+meta-learner (ABOVE the
   * reference's 0.959); flights 0.929 (ABOVE the reference's 0.657);
   * hospital 0.916. Full numbers in BASELINE.md "Reference-dataset F1
   * parity".
@@ -86,7 +86,7 @@ class ReferenceDatasetsSpec extends SparkSpec {
   test("beers cache + meta-learner beats the reference's published 0.959") {
     // the reference's actual config: per-column meta-learner over the
     // pair features, which learns to trust the LLM member on this
-    // dataset. Measured 0.966 vs the reference's 0.959.
+    // dataset. Measured 0.999 vs the reference's 0.959.
     assert(runEnsemble("beers", "index", withCache = true, metaLearner = true) >= 0.959)
   }
 
