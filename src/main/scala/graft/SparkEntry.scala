@@ -1273,6 +1273,11 @@ object SparkEntry {
     // Golden oracle for the flagship pages pipeline (see Q25Golden —
     // SF- and parallelism-independent end-to-end repair semantics).
     "q25_pages_pipeline" -> Q25Golden.sql,
+    // Golden oracles for the GBT decision paths (seeded, SF- and
+    // parallelism-independent — see GbtGoldens): the meta-learner
+    // decisions and the synth-lifecycle corrections as pinned tables.
+    "q45_meta_learner" -> GbtGoldens.q45,
+    "q52_cleaning_synth" -> GbtGoldens.q52,
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
