@@ -88,38 +88,24 @@ object Ann {
     * plan-build time: per-element formula expressions made Catalyst
     * analysis/codegen the dominant cost of small bucket jobs.
     */
-  private def allProjections(emb: Column, tables: Int, planes: Int, maxDim: Int = 512): Column = {
-    val matrix = lit(Array.tabulate(tables * planes, maxDim) { (p, d) =>
-      val h = ((131L * p + d) * 1103515245L + 12345L) % 2147483648L
-      h.toDouble / 1073741824.0 - 1.0
-    })
-    // zip_with null-pads past maxDim: every projection would go NULL
-    // and every row would silently share bucket 0 (an O(n^2) join) —
-    // fail loudly instead
-    val dimGuard = when(
-      size(emb) > maxDim,
-      raise_error(concat(lit(s"LSH planes support dim <= $maxDim, got "), size(emb).cast("string")))
-    )
-    transform(
-      sequence(lit(0), lit(tables * planes - 1)),
-      p =>
-        coalesce(
-          dimGuard.cast("double"),
-          aggregate(
-            zip_with(emb, slice(element_at(matrix, p + 1), lit(1), size(emb)), (x, c) => x * c),
-            lit(0.0),
-            (acc, x) => acc + x
-          )
-        )
-    )
-  }
+  private def allProjections(emb: Column, tables: Int, planes: Int, maxDim: Int): Column =
+    // fused codegen loop over planes × dims with the LCG plane values
+    // computed inline (see LshProjections — no plane literal rides the
+    // task binary, and the width/null contract fails loudly)
+    graft.functions.LshProjections(emb, tables * planes, maxDim)
+
+  /** Probe the embedding width from one row (driver-side, one tiny
+    * job). Falls back to 512 on an empty input so plans still build.
+    */
+  private def embeddingDim(df: DataFrame): Int =
+    df.select(size(col("embedding"))).head(1).headOption.map(_.getInt(0)).getOrElse(512)
 
   /** (id, tb, key) bucket relation over `tables` independent LSH
     * tables — the shuffle-friendly candidate-generation shape: keys,
     * never pairs, cross the wire.
     */
-  private def bucketRelation(df: DataFrame, idName: String, tables: Int, planes: Int): DataFrame = {
-    val withProj = df.select(col(idName), allProjections(col("embedding"), tables, planes).as("__proj"))
+  private def bucketRelation(df: DataFrame, idName: String, tables: Int, planes: Int, maxDim: Int): DataFrame = {
+    val withProj = df.select(col(idName), allProjections(col("embedding"), tables, planes, maxDim).as("__proj"))
     val keys = (0 until tables).map { t =>
       val bits = (0 until planes).map { j =>
         when(element_at(col("__proj"), t * planes + j + 1) >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
@@ -146,10 +132,19 @@ object Ann {
       planes: Int = 4,
       tables: Int = 32
   ): DataFrame = {
-    val c = corpus.select(col("id"), col("embedding").cast("array<double>").as("embedding"))
+    // the corpus-side projection pass is the CPU-heavy stage — spread
+    // a single-partition input across the cores (no-op at scale)
+    val c = graft.spark.Spread
+      .cpu(corpus)
+      .select(col("id"), col("embedding").cast("array<double>").as("embedding"))
     val q = queries.select(col("query_id"), col("embedding").cast("array<double>").as("q_emb"))
-    val cB = bucketRelation(c, "id", tables, planes)
-    val qB = bucketRelation(q.withColumnRenamed("q_emb", "embedding"), "query_id", tables, planes)
+    // size the plane matrix to the corpus dim (one-row probe): a
+    // 512-wide literal matrix made the task binary megabytes and the
+    // per-row interpreted projection pass 8x wider than needed. Rows
+    // wider than the probed dim still fail loudly via the dim guard.
+    val maxDim = embeddingDim(c)
+    val cB = bucketRelation(c, "id", tables, planes, maxDim)
+    val qB = bucketRelation(q.withColumnRenamed("q_emb", "embedding"), "query_id", tables, planes, maxDim)
     val cand = cB
       .join(broadcast(qB), Seq("tb", "key"))
       .filter(col("id") =!= col("query_id"))
@@ -186,11 +181,18 @@ object Ann {
       planes: Int = 4
   ): DataFrame = {
     val asDouble = transform(col("embedding"), x => x.cast("double"))
-    val withNorm = emb
+    val withNorm = graft.spark.Spread
+      .cpu(emb)
       .select(col("id"), asDouble.as("emb"), norm(asDouble).as("nrm"))
       .cache()
     val bucketed =
-      bucketRelation(withNorm.select(col("id"), col("emb").as("embedding")), "id", tables, planes)
+      bucketRelation(
+        withNorm.select(col("id"), col("emb").as("embedding")),
+        "id",
+        tables,
+        planes,
+        embeddingDim(withNorm.select(col("emb").as("embedding")))
+      )
 
     val cand = bucketed
       .as("x")

@@ -28,7 +28,10 @@ object Dedup {
       .select("keeper_id", "n_copies")
 
   /** Distinct word n-gram (shingle) relation: (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(df0: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // shingle fan-out + downstream hashing is the CPU-heavy pass —
+    // spread a single-partition input across the cores (no-op at scale)
+    val df = graft.spark.Spread.cpu(df0)
     val toks = split(col(textCol), " ")
     // n-gram via transform over the token index range (built-in HOF)
     val grams =

@@ -303,6 +303,11 @@ object ContinuousRollup {
             .drop("part_key")
           Rollup.reRollup(finer, series, "1d" -> "30d")
       }
+      // cache the ROLLUP OUTPUT (tiny) before clustering: the range
+      // partitioner's sampling pass and the write would otherwise each
+      // re-execute the whole tier aggregation, and the lineage
+      // aggregate a third time
+      val out = recomputed0.withColumn("part_key", partKeyOfBucket(tier)).cache()
       // cluster rows by their output partition before the partitioned
       // write: otherwise every shuffle task holds rows of every
       // part_key and the write fans out |tasks| × |partitions| tiny
@@ -313,19 +318,12 @@ object ContinuousRollup {
       // range-partitioning's sampling job costs more than the write —
       // hash-cluster those on part_key instead.
       val recomputed = tier match {
-        case "1m" | "1h" =>
-          recomputed0
-            .withColumn("part_key", partKeyOfBucket(tier))
-            .repartitionByRange((col("part_key") +: series.map(col)): _*)
-        case _ =>
-          recomputed0
-            .withColumn("part_key", partKeyOfBucket(tier))
-            .repartition(col("part_key"))
+        case "1m" | "1h" => out.repartitionByRange((col("part_key") +: series.map(col)): _*)
+        case _           => out.repartition(col("part_key"))
       }
       val path = tierPath(tiersRoot, tier)
       val exists = Files.exists(Paths.get(path))
-      val out = recomputed.cache()
-      out.write
+      recomputed.write
         .mode(if (exists) "overwrite" else "errorifexists")
         .partitionBy("part_key")
         .parquet(path)
