@@ -314,12 +314,20 @@ object SparkEntry {
     //      payloads (stub decoder; rows-only check)
     "q26_media_features" -> ((s, _) => {
       graft.multimodal.Multimodal
-        .extractFeatures(graft.multimodal.Multimodal.syntheticMedia(s, 2000L), dim = 16)
+        .extractFeatures(
+          graft.multimodal.Multimodal.syntheticMedia(s, 2000L, ppmImages = true),
+          dim = 16,
+          withGraySums = true
+        )
         .select(
           col("media_id"),
           col("kind"),
           size(col("features")).as("dim"),
-          md5(col("payload")).as("payload_md5")
+          md5(col("payload")).as("payload_md5"),
+          // real pixel-derived features for the image rows: the pooled
+          // 4x4 grayscale INTEGER sums of the decoded 8x8 P6 payload —
+          // exact engine parity (the oracle re-decodes the same bytes)
+          col("gray_sums")
         )
     }),
 
@@ -1293,14 +1301,34 @@ object SparkEntry {
     // the generator (16 concatenated md5 hex blocks per id) and the
     // metadata fan-through are reproduced in SQL, pinning the binary
     // plumbing byte-for-byte.
+    // Payload parity for all kinds PLUS a real pixel-feature check for
+    // the image rows: the oracle re-decodes the 8x8 P6 payload (header
+    // + 192 ASCII-hex RGB bytes) and recomputes the 4x4 average-pool
+    // grayscale integer sums — cell (k): sum over its 2x2 pixel block
+    // of the 3 channel bytes, pixel (y,x) channel c at stream offset
+    // (y*8+x)*3+c.
     "q26_media_features" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 1999)) AS media_id),
          m AS (SELECT media_id,
                       CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                       array_to_string(list_transform(generate_series(0, 15),
-                        j -> md5(CAST(media_id AS VARCHAR) || CAST(j AS VARCHAR))), '') AS payload
-               FROM ids)
-         SELECT media_id, kind, 16 AS dim, md5(payload) AS payload_md5 FROM m""",
+                        j -> md5(CAST(media_id AS VARCHAR) || CAST(j AS VARCHAR))), '') AS stream
+               FROM ids),
+         p AS (SELECT media_id, kind,
+                      CASE WHEN kind = 'image'
+                           THEN 'P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10) || substr(stream, 1, 192)
+                           ELSE stream END AS payload,
+                      substr(stream, 1, 192) AS px
+               FROM m)
+         SELECT media_id, kind, 16 AS dim, md5(payload) AS payload_md5,
+                CASE WHEN kind = 'image' THEN
+                  list_transform(generate_series(0, 15), cell ->
+                    CAST(list_sum(list_transform(generate_series(0, 11), k ->
+                      ascii(substr(px,
+                        ((2 * (cell // 4) + k // 6) * 8 + (2 * (cell % 4) + (k // 3) % 2)) * 3 + (k % 3) + 1,
+                        1)))) AS BIGINT))
+                END AS gray_sums
+         FROM p""",
     // Frame sampling parity: 512-byte payloads -> 8 frames of 64,
     // every 4th kept; frame bytes verified by md5 of the same slice.
     "q27_frame_sample" ->

@@ -29,17 +29,24 @@ object Multimodal {
 
   /** Deterministic synthetic media table `(media_id, kind, payload,
     * meta)` — payload bytes derived from the id, so any parallelism
-    * level generates identical rows.
+    * level generates identical rows. With `ppmImages`, image-kind rows
+    * carry a REAL decodable 8×8 P6 PPM: the fixed header plus 192
+    * ASCII-hex bytes (the md5 stream) as RGB values — so the decode
+    * path runs on genuine image bytes while staying byte-reproducible
+    * in SQL (the oracle rebuilds the same string).
     */
-  def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
+  def syntheticMedia(spark: SparkSession, n: Long, ppmImages: Boolean = false): DataFrame = {
     val kind = element_at(
       array(lit("image"), lit("audio"), lit("video")),
       (pmod(col("id"), lit(3)) + 1).cast("int")
     )
-    val payload = encode(
-      concat_ws("", (0 until 16).map(i => md5(concat(col("id"), lit(i)))): _*),
-      "UTF-8"
-    ) // 512 deterministic bytes
+    val stream = concat_ws("", (0 until 16).map(i => md5(concat(col("id"), lit(i)))): _*)
+    val raw = // 512 deterministic bytes
+      if (!ppmImages) stream
+      else
+        when(kind === "image", concat(lit("P6\n8 8\n255\n"), substring(stream, 1, 192)))
+          .otherwise(stream)
+    val payload = encode(raw, "UTF-8")
     spark
       .range(n)
       .select(
@@ -75,17 +82,79 @@ object Multimodal {
     out
   }
 
-  /** Batch feature extraction: one pass per partition, rows streamed
-    * through the decoder (never collected). Output adds
-    * `features array<float>`.
+  /** Pure-JVM decoder for binary (P6) PPM: `P6` magic, whitespace-
+    * separated width/height/maxval, ONE whitespace byte, then
+    * `w*h*3` RGB bytes. No comment support (the synthetic writer never
+    * emits comments); anything malformed returns None and falls back
+    * to the stub. Returns (width, height, maxval, pixels 0..maxval).
     */
-  def extractFeatures(df: DataFrame, dim: Int = 64): DataFrame = {
-    val schema = df.schema.add("features", ArrayType(FloatType))
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    var pos = 2
+    def readInt(): Int = {
+      while (pos < payload.length && Character.isWhitespace(payload(pos))) pos += 1
+      val st = pos
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') pos += 1
+      if (pos == st) -1 else new String(payload, st, pos - st).toInt
+    }
+    val w = readInt(); val h = readInt(); val mv = readInt()
+    pos += 1 // the single whitespace after maxval
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255 || payload.length < pos + w * h * 3) return None
+    val px = new Array[Int](w * h * 3)
+    var i = 0
+    while (i < px.length) { px(i) = payload(pos + i) & 0xff; i += 1 }
+    Some((w, h, mv, px))
+  }
+
+  /** Average-pool a decoded image to a g×g grayscale grid
+    * (g = sqrt(dim)): per cell, the INTEGER sum of the (r+g+b) values
+    * of its pixel block (exact — the oracle checks these), and the
+    * float feature `sum / (blockPixels * 3 * maxval)` in [0, 1].
+    * None when `dim` is not a square dividing the image grid.
+    */
+  private def poolGray(w: Int, h: Int, mv: Int, px: Array[Int], dim: Int): Option[(Array[Float], Array[Long])] = {
+    val g = math.sqrt(dim.toDouble).toInt
+    if (g * g != dim || w % g != 0 || h % g != 0) return None
+    val bw = w / g
+    val bh = h / g
+    val sums = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (y / bh) * g + (x / bw)
+        val base = (y * w + x) * 3
+        sums(cell) += px(base) + px(base + 1) + px(base + 2)
+        x += 1
+      }
+      y += 1
+    }
+    val denom = bw.toDouble * bh * 3 * mv
+    Some((sums.map(s => (s / denom).toFloat), sums))
+  }
+
+  /** Batch feature extraction: one pass per partition, rows streamed
+    * through the decoder (never collected). Payloads that parse as
+    * binary PPM get REAL pixel-derived features (pooled grayscale);
+    * everything else (audio/video — no codec libraries in this
+    * container) falls back to the deterministic stub. Output adds
+    * `features array<float>` and, with `withGraySums`, the exact
+    * integer pooled sums (`gray_sums array<bigint>`, null for
+    * non-image payloads) for engine-parity checking.
+    */
+  def extractFeatures(df: DataFrame, dim: Int = 64, withGraySums: Boolean = false): DataFrame = {
+    val base = df.schema.add("features", ArrayType(FloatType))
+    val schema = if (withGraySums) base.add("gray_sums", ArrayType(LongType)) else base
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](r.fieldIndex("payload"))
-        Row.fromSeq(r.toSeq :+ stubDecode(payload, dim).toSeq)
+        val decoded = decodePpm(payload).flatMap { case (w, h, mv, px) => poolGray(w, h, mv, px, dim) }
+        val (features, sums) = decoded match {
+          case Some((f, s)) => (f.toSeq, s.toSeq)
+          case None         => (stubDecode(payload, dim).toSeq, null)
+        }
+        Row.fromSeq(if (withGraySums) r.toSeq :+ features :+ sums else r.toSeq :+ features)
       }
     }(enc)
   }

@@ -29,6 +29,41 @@ class MultimodalSpec extends SparkSpec {
     assert(x == y)
   }
 
+  test("PPM decode: golden 2x2 image, pooled features, malformed fallback") {
+    // hand-built 2x2 P6: pixels (10,20,30) (40,50,60) / (70,80,90) (100,110,120)
+    val px = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120).map(_.toByte)
+    val ppm = "P6\n2 2\n255\n".getBytes("UTF-8") ++ px
+    val Some((w, h, mv, pixels)) = Multimodal.decodePpm(ppm)
+    assert(w == 2 && h == 2 && mv == 255)
+    assert(pixels.toSeq == Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+    // signed-byte handling: values > 127 survive as unsigned
+    val hot = "P6\n1 1\n255\n".getBytes("UTF-8") ++ Array(0xff.toByte, 0x80.toByte, 0x00.toByte)
+    assert(Multimodal.decodePpm(hot).get._4.toSeq == Seq(255, 128, 0))
+    // malformed: wrong magic, truncated data
+    assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes("UTF-8") ++ px).isEmpty)
+    assert(Multimodal.decodePpm("P6\n4 4\n255\n".getBytes("UTF-8") ++ px).isEmpty)
+  }
+
+  test("image rows get real pooled-grayscale features; audio/video stay stubbed") {
+    val m = Multimodal.syntheticMedia(spark, 30L, ppmImages = true)
+    val out = Multimodal.extractFeatures(m, dim = 16, withGraySums = true)
+      .select("media_id", "kind", "features", "gray_sums")
+      .collect()
+    for (r <- out) {
+      val kind = r.getString(1)
+      val feats = r.getSeq[Float](2)
+      assert(feats.size == 16)
+      if (kind == "image") {
+        val sums = r.getSeq[Long](3)
+        assert(sums.size == 16)
+        // feature = sum / (2*2 pixels * 3 channels * 255), exactly
+        assert(feats.zip(sums).forall { case (f, s) => f == (s / (4.0 * 3 * 255)).toFloat })
+        // ASCII-hex pixel bytes are 48..57 / 97..102 -> sums bounded
+        assert(sums.forall(s => s >= 12L * 48 && s <= 12L * 102))
+      } else assert(r.isNullAt(3))
+    }
+  }
+
   test("frame sampling slices payload into every-Nth fixed-size frame") {
     val frames = Multimodal.frameSample(media, frameBytes = 64, everyN = 4)
     // payload is 512 bytes -> 8 frames -> indices 0,4 kept
