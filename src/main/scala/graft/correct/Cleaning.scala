@@ -15,6 +15,9 @@ case class CleaningConfig(
     useVicinity2: Boolean = false,
     usePdepVicinity: Boolean = false,
     useImputer: Boolean = true,
+    // M1's TRAINED form (auto_instance): per-column seeded
+    // RandomForest over the error-free rows — see MlImputer
+    useMlImputer: Boolean = false,
     useValue: Boolean = true,
     nBestPdeps: Int = 3,
     useMetaLearner: Boolean = false,
@@ -150,6 +153,7 @@ object Cleaning {
         Some(Correctors.vicinityCorrectorPdep(df, correctorErrors, rowId, cols, cfg.nBestPdeps))
       else None,
       if (cfg.useImputer) Some(Correctors.frequencyImputer(df, correctorErrors, rowId, cols)) else None,
+      if (cfg.useMlImputer) Some(MlImputer.suggest(df, rowId, cols, correctorErrors)) else None,
       if (cfg.useValue && labeledPairs.nonEmpty) Some(Correctors.valueCorrector(detected, labeledPairs))
       else None
     ).flatten ++ cacheSuggestions) match {

@@ -1,0 +1,167 @@
+package graft.correct
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M1 in its TRAINED form — the reference's auto_instance /
+  * AutoGluon-style imputer (`src/auto_instance.py:6-78`,
+  * `src/autogluon_imputer.py:76-121`): per error column, fit a
+  * multiclass classifier on the error-free rows (P2 subset) with the
+  * OTHER columns as features, and emit `predict_proba` class
+  * probabilities for the column's error cells as suggestions
+  * `(row_id, col, corrector=auto_instance, candidate, score)`,
+  * with the reference's P5 threshold (p >= 0.001, candidate != error
+  * value) and A14 class-count guard (target classes under
+  * `minClassCount` occurrences are dropped from training,
+  * `src/auto_instance.py:35-41`).
+  *
+  * Deterministic replacement for AutoGluon: a seeded
+  * RandomForestClassifier over [numeric-parsed columns + per-column
+  * indexed categoricals]. A column counts as numeric when every
+  * non-empty error-free value parses as a double (the all-string
+  * table is the reference's contract; numeric semantics are recovered
+  * per column, not assumed). `StringIndexer(alphabetAsc)` keeps the
+  * label and feature index spaces deterministic.
+  *
+  * Scale shape: training runs on the distributed error-free subset
+  * (spark.ml), one model per ERROR column (bounded by table width,
+  * like the reference's `columns_with_errors` loop); scoring joins
+  * only the error cells. Nothing driver-side scales with row count.
+  */
+object MlImputer {
+
+  def suggest(
+      df: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      detected: DataFrame,
+      seed: Long = 42L,
+      minClassCount: Int = 10,
+      numTrees: Int = 50
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val errorRows = detected.select("row_id").distinct()
+    val base = df.select(col(rowId).as("row_id") +: cols.map(col): _*)
+    val clean = base.join(errorRows, Seq("row_id"), "left_anti").cache()
+
+    val errCols =
+      detected.select("col").distinct().collect().map(_.getString(0)).sorted.toSeq.filter(cols.contains)
+    if (errCols.isEmpty) { clean.unpersist(); return Correctors.emptySuggestions(spark) }
+
+    // numeric-vs-categorical per column, decided once on the clean rows
+    val nonNumeric = clean
+      .select(cols.map(c => max(when(col(c) =!= "" && col(c).try_cast("double").isNull, 1).otherwise(0)).as(c)): _*)
+      .head()
+    val numericCols = cols.zipWithIndex.collect { case (c, i) if nonNumeric.getInt(i) == 0 => c }.toSet
+
+    val perCol = errCols.flatMap { target =>
+      val features = cols.filterNot(_ == target)
+      val (numF, catF) = features.partition(numericCols.contains)
+      // A14: keep target classes with enough support; need >= 2 left
+      val keep = clean
+        .filter(col(target) =!= "")
+        .groupBy(target)
+        .count()
+        .filter(col("count") >= minClassCount)
+        .collect()
+        .map(_.getString(0))
+        .sorted
+      if (keep.length < 2) None
+      else {
+        // categorical features: one deterministic index per column
+        // (alphabetAsc; unseen values get the trailing "keep" index) —
+        // compact tree features, unlike hashing into a sparse space
+        // where per-split feature sampling mostly draws empty slots.
+        // The indexers are fitted OUTSIDE the model pipeline so
+        // high-cardinality columns (an id-like Title with hundreds of
+        // values would blow the tree maxBins requirement) can have
+        // their nominal metadata stripped and split as plain ordinals;
+        // low-cardinality columns keep it and get true subset splits.
+        val catIndexers = catF.map { c =>
+          c -> new StringIndexer()
+            .setInputCol(c)
+            .setOutputCol(s"__cat_$c")
+            .setStringOrderType("alphabetAsc")
+            .setHandleInvalid("keep")
+            .fit(clean)
+        }
+        val featurize = (in: DataFrame) => {
+          val withNum =
+            numF.foldLeft(in)((d, c) => d.withColumn(s"__num_$c", coalesce(col(c).try_cast("double"), lit(0.0))))
+          catIndexers.foldLeft(withNum) { case (d, (c, ix)) =>
+            val indexed = ix.transform(d)
+            if (ix.labelsArray.head.length <= 30) indexed
+            else indexed.withMetadata(s"__cat_$c", org.apache.spark.sql.types.Metadata.empty)
+          }
+        }
+        val stages = Seq(
+          new StringIndexer()
+            .setInputCol(target)
+            .setOutputCol("__label")
+            .setStringOrderType("alphabetAsc")
+            .setHandleInvalid("skip"),
+          new VectorAssembler()
+            .setInputCols((numF.map(c => s"__num_$c") ++ catF.map(c => s"__cat_$c")).toArray)
+            .setOutputCol("__fvec"),
+          new RandomForestClassifier()
+            .setLabelCol("__label")
+            .setFeaturesCol("__fvec")
+            .setProbabilityCol("__proba")
+            .setPredictionCol("__pred")
+            .setRawPredictionCol("__raw")
+            .setNumTrees(numTrees)
+            // the default depth 5 underfits many-class targets (the
+            // letter table's 26 classes); depth 14 matches the
+            // reference imputer's effectively-unbounded trees
+            .setMaxDepth(14)
+            .setSeed(seed)
+        )
+        val train = featurize(clean.filter(col(target).isin(keep: _*)))
+          .localCheckpoint(true) // tree training iterates the featurized plan many times
+        val model = new Pipeline().setStages(stages.toArray).fit(train)
+        // labels in indexer order (alphabetAsc over the TRAINING data)
+        val labels = model.stages.head.asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel].labelsArray.head
+
+        // the indexer stage still runs at scoring time and would SKIP
+        // rows whose (dirty) target value is outside the label space —
+        // mask it with a known label; the label column is unused when
+        // predicting
+        val errCells = detected
+          .filter(col("col") === target)
+          .select(col("row_id"), col("error_value"))
+          .join(base, "row_id")
+          .withColumn(target, lit(keep.head))
+        val scored = model
+          .transform(featurize(errCells))
+          .select(
+            col("row_id"),
+            col("error_value"),
+            posexplode(vector_to_array(col("__proba"))).as(Seq("pos", "score"))
+          )
+          .withColumn("candidate", element_at(lit(labels), col("pos") + 1))
+        Some(
+          scored
+            .filter(col("score") >= 0.001 && col("candidate") =!= coalesce(col("error_value"), lit("")))
+            .select(
+              col("row_id"),
+              lit(target).as("col"),
+              lit("auto_instance").as("corrector"),
+              col("candidate"),
+              col("score")
+            )
+        )
+      }
+    }
+    val out = perCol match {
+      case Nil => Correctors.emptySuggestions(spark)
+      case xs  => xs.reduce(_ unionByName _).cache()
+    }
+    if (perCol.nonEmpty) out.count() // materialize before releasing the training cache
+    clean.unpersist()
+    out
+  }
+}

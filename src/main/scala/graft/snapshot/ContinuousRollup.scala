@@ -317,8 +317,13 @@ object ContinuousRollup {
       // tiers (1d/30d) are re-rollups of already-tiny tier rows, where
       // range-partitioning's sampling job costs more than the write —
       // hash-cluster those on part_key instead.
+      // explicit partition count: with the child cached, AQE has
+      // accurate (tiny-at-test-scale) size stats and would coalesce an
+      // unnumbered range shuffle to ONE task, serializing the hot-day
+      // write the range layout exists to parallelize
+      val nWrite = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val recomputed = tier match {
-        case "1m" | "1h" => out.repartitionByRange((col("part_key") +: series.map(col)): _*)
+        case "1m" | "1h" => out.repartitionByRange(nWrite, (col("part_key") +: series.map(col)): _*)
         case _           => out.repartition(col("part_key"))
       }
       val path = tierPath(tiersRoot, tier)
