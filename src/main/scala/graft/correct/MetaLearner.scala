@@ -85,7 +85,18 @@ object MetaLearner {
     }
     val columns = realCells.select("col").distinct().collect().map(_.getString(0)).sorted
 
-    val perCol = columns.map { c =>
+    // Per-column fits are INDEPENDENT and tiny (training pairs bounded
+    // by budget x candidates), so each one is scheduler-latency-bound,
+    // not resource-bound: a GBT fit is ~10 boosting rounds of small
+    // Spark jobs whose wall time is dominated by job launch, not
+    // compute. Overlapping the columns on a bounded driver pool keeps
+    // the scheduler pipeline full — the multi-tenant pattern a real
+    // cluster runs with the FAIR scheduler. Results are unchanged:
+    // every column's computation is seeded and self-contained, and the
+    // output union keeps the sorted-column order. The shared `feats`
+    // cache is already materialized (the `columns` collect above ran
+    // through it) so threads only read cached blocks.
+    val perCol = graft.core.Par.mapOrdered(columns) { c =>
       val f = feats.filter(col("col") === c)
       val lab = labeled.filter(col("col") === c).select(col("row_id"), col("clean_value"))
       val userTrain = f

@@ -1,6 +1,5 @@
 package graft.correct
 
-import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.RandomForestClassifier
 import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
 import org.apache.spark.ml.functions.vector_to_array
@@ -58,7 +57,10 @@ object MlImputer {
       .head()
     val numericCols = cols.zipWithIndex.collect { case (c, i) if nonNumeric.getInt(i) == 0 => c }.toSet
 
-    val perCol = errCols.flatMap { target =>
+    // independent per-target fits, overlapped on a bounded driver pool
+    // (graft.core.Par; tree fits here are bigger than the
+    // pair-classifier's but still per-column independent and seeded)
+    val perCol = graft.core.Par.mapOrdered(errCols.toArray) { target =>
       val features = cols.filterNot(_ == target)
       val (numF, catF) = features.partition(numericCols.contains)
       // A14: keep target classes with enough support; need >= 2 left
@@ -98,33 +100,39 @@ object MlImputer {
             else indexed.withMetadata(s"__cat_$c", org.apache.spark.sql.types.Metadata.empty)
           }
         }
-        val stages = Seq(
-          new StringIndexer()
-            .setInputCol(target)
-            .setOutputCol("__label")
-            .setStringOrderType("alphabetAsc")
-            .setHandleInvalid("skip"),
-          new VectorAssembler()
-            .setInputCols((numF.map(c => s"__num_$c") ++ catF.map(c => s"__cat_$c")).toArray)
-            .setOutputCol("__fvec"),
-          new RandomForestClassifier()
-            .setLabelCol("__label")
-            .setFeaturesCol("__fvec")
-            .setProbabilityCol("__proba")
-            .setPredictionCol("__pred")
-            .setRawPredictionCol("__raw")
-            .setNumTrees(numTrees)
-            // the default depth 5 underfits many-class targets (the
-            // letter table's 26 classes); depth 14 matches the
-            // reference imputer's effectively-unbounded trees
-            .setMaxDepth(14)
-            .setSeed(seed)
-        )
+        val labelIndexer = new StringIndexer()
+          .setInputCol(target)
+          .setOutputCol("__label")
+          .setStringOrderType("alphabetAsc")
+          .setHandleInvalid("skip")
+        val assembler = new VectorAssembler()
+          .setInputCols((numF.map(c => s"__num_$c") ++ catF.map(c => s"__cat_$c")).toArray)
+          .setOutputCol("__fvec")
+        val rf = new RandomForestClassifier()
+          .setLabelCol("__label")
+          .setFeaturesCol("__fvec")
+          .setProbabilityCol("__proba")
+          .setPredictionCol("__pred")
+          .setRawPredictionCol("__raw")
+          .setNumTrees(numTrees)
+          // the default depth 5 underfits many-class targets (the
+          // letter table's 26 classes); depth 14 matches the
+          // reference imputer's effectively-unbounded trees
+          .setMaxDepth(14)
+          .setSeed(seed)
         val train = featurize(clean.filter(col(target).isin(keep: _*)))
           .localCheckpoint(true) // tree training iterates the featurized plan many times
-        val model = new Pipeline().setStages(stages.toArray).fit(train)
+        val labelIx = labelIndexer.fit(train)
+        // score with a summary-free copy: a binary fit attaches a
+        // training summary that pins the SparkSession (non-serializable
+        // ObservationManager in Spark 4), and transform's scoring UDF
+        // captures the whole model — copy(ParamMap.empty) rebuilds the
+        // trees without the summary
+        val model = rf
+          .fit(assembler.transform(labelIx.transform(train)))
+          .copy(org.apache.spark.ml.param.ParamMap.empty)
         // labels in indexer order (alphabetAsc over the TRAINING data)
-        val labels = model.stages.head.asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel].labelsArray.head
+        val labels = labelIx.labelsArray.head
 
         // the indexer stage still runs at scoring time and would SKIP
         // rows whose (dirty) target value is outside the label space —
@@ -136,7 +144,7 @@ object MlImputer {
           .join(base, "row_id")
           .withColumn(target, lit(keep.head))
         val scored = model
-          .transform(featurize(errCells))
+          .transform(assembler.transform(labelIx.transform(featurize(errCells))))
           .select(
             col("row_id"),
             col("error_value"),
@@ -156,11 +164,12 @@ object MlImputer {
         )
       }
     }
-    val out = perCol match {
+    val decided = perCol.toSeq.flatten
+    val out = decided match {
       case Nil => Correctors.emptySuggestions(spark)
       case xs  => xs.reduce(_ unionByName _).cache()
     }
-    if (perCol.nonEmpty) out.count() // materialize before releasing the training cache
+    if (decided.nonEmpty) out.count() // materialize before releasing the training cache
     clean.unpersist()
     out
   }

@@ -56,6 +56,11 @@ object ContinuousRollup {
 
   private def tierPath(tiersRoot: String, tier: String) = s"$tiersRoot/tier_$tier"
 
+  /** Below this output size a tier write skips the clustering shuffle
+    * (see the write-layout branch in `update`).
+    */
+  private val SmallTierRows = 5000L
+
   def readTier(spark: SparkSession, tiersRoot: String, tier: String): DataFrame =
     spark.read.parquet(tierPath(tiersRoot, tier)).drop("part_key")
 
@@ -274,24 +279,37 @@ object ContinuousRollup {
       )
     }
     val tierRows = if (exactGuard) allRows.drop(StoredDayCol) else allRows
+    // the guard count above already materialized the shared cache when
+    // a guard was active; otherwise warm it here so the concurrent
+    // fine-tier jobs read cached blocks instead of racing to compute
+    // the scan
+    if (!(exactGuard || memberGuard)) allRows.count()
 
-    Tiers.All.foreach { tier =>
-      val touched = newRows.select(partKeyOfPoint(tsCol, tier).as("part_key")).distinct()
+    // cascade state: the still-cached recomputed output of the
+    // previous (finer) tier. 1h and 1d re-rollup from it IN MEMORY —
+    // the touched 1m/1h/1d part keys are all the same day set, and the
+    // finer output covers those days completely (it was aggregated
+    // from ALL raw rows of the touched days, not just the batch), so
+    // the cached frame equals the freshly written tier partitions
+    // without a file read-back. Only 30d goes to the 1d tier FILES:
+    // its window span includes days written by earlier updates.
+    var finerOut: Option[DataFrame] = None
+
+    def runTier(tier: String): (String, String, Long, Long, Long) = {
       val recomputed0 = tier match {
-        case "1m" | "1h" =>
+        case "1m" =>
+          // the single raw aggregation of the update: every coarser
+          // tier re-rolls up from this result (associative measures;
+          // RollupSpec pins fromRaw == reRollup)
+          val touched = newRows.select(partKeyOfPoint(tsCol, tier).as("part_key")).distinct()
           val affected = tierRows
             .withColumn("part_key", partKeyOfPoint(tsCol, tier))
             .join(broadcast(touched), Seq("part_key"), "left_semi")
           Rollup.fromRaw(affected, series, tsCol, tier, sizeCol, langCol = langCol)
+        case "1h" =>
+          Rollup.reRollup(finerOut.get.drop("part_key"), series, "1m" -> "1h")
         case "1d" =>
-          // the 1d touched days are exactly the 1h touched days, and
-          // those 1h partitions were just rewritten — re-rollup them
-          // (associative measures; RollupSpec pins fromRaw == reRollup)
-          val finer = spark.read
-            .parquet(tierPath(tiersRoot, "1h"))
-            .filter(col("part_key").isin(days.toSeq.map(java.sql.Date.valueOf): _*))
-            .drop("part_key")
-          Rollup.reRollup(finer, series, "1h" -> "1d")
+          Rollup.reRollup(finerOut.get.drop("part_key"), series, "1h" -> "1d")
         case "30d" =>
           // a touched 30d window re-rolls up its day span from the 1d
           // TIER (days outside this batch were written by earlier
@@ -322,21 +340,39 @@ object ContinuousRollup {
       // unnumbered range shuffle to ONE task, serializing the hot-day
       // write the range layout exists to parallelize
       val nWrite = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val recomputed = tier match {
-        case "1m" | "1h" => out.repartitionByRange(nWrite, (col("part_key") +: series.map(col)): _*)
-        case _           => out.repartition(col("part_key"))
-      }
+      // lineage stats FIRST (this materializes the cache), so the
+      // write layout can branch on the actual output size: below the
+      // threshold the clustering shuffle costs more than it saves —
+      // one writer task emits one file per part_key dir with no
+      // exchange and a single task-commit round. Above it, the skew
+      // layouts earn their shuffle.
+      val stats = out.agg(count(lit(1)), countDistinct(col("part_key"))).head()
+      val recomputed =
+        if (stats.getLong(0) <= SmallTierRows) out.coalesce(1)
+        else
+          tier match {
+            case "1m" | "1h" => out.repartitionByRange(nWrite, (col("part_key") +: series.map(col)): _*)
+            case _           => out.repartition(col("part_key"))
+          }
       val path = tierPath(tiersRoot, tier)
       val exists = Files.exists(Paths.get(path))
       recomputed.write
         .mode(if (exists) "overwrite" else "errorifexists")
         .partitionBy("part_key")
         .parquet(path)
-      // one aggregate over the cached result for both lineage numbers
-      val stats = out.agg(count(lit(1)), countDistinct(col("part_key"))).head()
-      lineageRows += ((tier, s"($from,$to]", stats.getLong(0), stats.getLong(1), to))
-      out.unpersist()
+      // hand the cached output to the next (coarser) tier's re-rollup
+      // and release the previous one
+      finerOut.foreach(_.unpersist())
+      finerOut = Some(out)
+      (tier, s"($from,$to]", stats.getLong(0), stats.getLong(1), to)
     }
+
+    // Tiers run sequentially — each re-rolls up the cached output of
+    // the previous one, and the fine tiers are full-width
+    // shuffle+write jobs that already use every core (overlapping
+    // 1m/1h was measured SLOWER at sf0.1: cache/shuffle contention).
+    Tiers.All.foreach(t => lineageRows += runTier(t))
+    finerOut.foreach(_.unpersist())
 
     import spark.implicits._
     lineageRows.toSeq
