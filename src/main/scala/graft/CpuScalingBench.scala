@@ -63,16 +63,31 @@ object CpuScalingBench {
       best
     }
 
-    for ((name, job, rows) <- Seq(
-        ("cpu", cpuJob _, cpuRows),
-        ("mem_pipeline", memJob _, memPages)
-      )) {
-      val small = measure(n, job, rows)
-      val big = measure(4 * n, job, rows)
-      val eff = (big / small) / 4.0
-      println(
-        f"""{"metric":"scaling_efficiency_$name","value":$eff%.3f,"cores_small":$n,"cores_big":${4 * n},"rows_per_sec_small":$small%.0f,"rows_per_sec_big":$big%.0f}"""
-      )
+    val variants = Seq(
+      ("cpu", cpuJob _, cpuRows),
+      ("mem_pipeline", memJob _, memPages)
+    ).filter { case (name, _, _) =>
+      sys.env.get("SPARK_GRAFT_SCALE_VARIANT").forall(_ == name)
+    }
+
+    // SPARK_GRAFT_SCALE_SINGLE=<cores>: one parallelism level per JVM
+    // (same process-isolation rationale as ScalingBench — surviving
+    // heap/GC state of one side must not taint the other)
+    sys.env.get("SPARK_GRAFT_SCALE_SINGLE") match {
+      case Some(c) =>
+        for ((name, job, rows) <- variants) {
+          val thr = measure(c.toInt, job, rows)
+          println(f"""{"metric":"single_throughput_$name","cores":$c,"rows_per_sec":$thr%.0f,"rows":$rows}""")
+        }
+      case None =>
+        for ((name, job, rows) <- variants) {
+          val small = measure(n, job, rows)
+          val big = measure(4 * n, job, rows)
+          val eff = (big / small) / 4.0
+          println(
+            f"""{"metric":"scaling_efficiency_$name","value":$eff%.3f,"cores_small":$n,"cores_big":${4 * n},"rows_per_sec_small":$small%.0f,"rows_per_sec_big":$big%.0f}"""
+          )
+        }
     }
   }
 }

@@ -41,7 +41,7 @@ object Experiments {
     * JsonNodes so booleans/ints/strings survive untyped.
     */
   def combineConfigs(ranges: JsonNode, config: JsonNode, runs: Int): Seq[Map[String, JsonNode]] = {
-    val static = config.fields().asScala.map(e => e.getKey -> e.getValue).toMap
+    val static = config.properties().asScala.map(e => e.getKey -> e.getValue).toMap
     val rangeKeys = ranges.fieldNames().asScala.toSeq
     val rangeVals: Seq[Seq[JsonNode]] =
       rangeKeys.map(k => ranges.get(k).elements().asScala.toSeq) :+

@@ -120,7 +120,7 @@ object MlImputer {
           // reference imputer's effectively-unbounded trees
           .setMaxDepth(14)
           .setSeed(seed)
-        val train = featurize(clean.filter(col(target).isin(keep: _*)))
+        val train = featurize(clean.filter(col(target).isin(keep.toIndexedSeq: _*)))
           .localCheckpoint(true) // tree training iterates the featurized plan many times
         val labelIx = labelIndexer.fit(train)
         // score with a summary-free copy: a binary fit attaches a

@@ -84,7 +84,7 @@ object Rollup {
   ): DataFrame = {
     val (_, to) = fromTo
     val hasHist = tierDf.columns.contains("lang_hist")
-    val measureCols = tierDf.columns
+    val measureCols = tierDf.columns.toIndexedSeq
       .filterNot(series.contains)
       .filterNot(Seq("bucket_ts", "lang_hist").contains)
       .filterNot(sketchCols.contains)

@@ -46,7 +46,7 @@ object StringCsv {
     )
     val schema = StructType(StructField("row_id", org.apache.spark.sql.types.LongType) +: base.schema.fields)
     spark.createDataFrame(
-      rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(i +: r.toSeq) },
+      rdd.zipWithIndex().map { case (r, i) => org.apache.spark.sql.Row.fromSeq(i +: r.toSeq) },
       schema
     )
   }
