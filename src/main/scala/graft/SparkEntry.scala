@@ -719,6 +719,24 @@ object SparkEntry {
         .toSeq
       graft.correct.Labeling
         .labelWithGroundTruth(base, "row_id", Seq("nation", "decile", "segment"), rows, noisePct = 0.2, seed = 7L)
+    }),
+
+    // ---- multimodal resize: REAL average-pool transcode of the 8x8
+    //      P6 payloads to 4x4 (byte-exact oracle — the SQL re-decodes,
+    //      pools, and re-encodes the same bytes; all payload bytes are
+    //      ASCII-range so md5 parity holds across engines) ----
+    "q55_media_resize" -> ((s, _) => {
+      graft.multimodal.Multimodal
+        .resize(
+          graft.multimodal.Multimodal.syntheticMedia(s, 2000L, ppmImages = true).filter(col("kind") === "image"),
+          maxWidth = 4
+        )
+        .select(
+          col("media_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          md5(col("payload")).as("payload_md5")
+        )
     })
   )
 
@@ -1369,6 +1387,28 @@ object SparkEntry {
                 CASE WHEN CAST(('0x' || substr(md5(CAST(c.row_id AS VARCHAR) || '|' || c.col || '|' || '7'), 1, 15)) AS BIGINT) % 10000 < 2000
                           AND s.n > 1
                      THEN s.next_value ELSE c.value END AS clean_value
-         FROM lab c JOIN succ s ON s.col = c.col AND s.value = c.value"""
+         FROM lab c JOIN succ s ON s.col = c.col AND s.value = c.value""",
+    // Byte-exact resize oracle: re-decode the 8x8 P6 stream, 2x2
+    // average-pool each channel (floor), re-encode 'P6\n4 4\n255\n' +
+    // 48 pooled bytes, and md5 the result — every byte is ASCII-range
+    // (hex digits pool to 48..102), so chr()/UTF-8 equals raw bytes
+    // and both engines hash identical payloads. Output pixel (y,x,c)
+    // at list index i: y=i//12, x=(i%12)//3, c=i%3; source pixel
+    // (sy,sx) channel c sits at px offset ((sy*8+sx)*3+c)+1 (1-based).
+    "q55_media_resize" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 1999)) AS media_id),
+         img AS (SELECT media_id,
+                        substr(array_to_string(list_transform(generate_series(0, 15),
+                          j -> md5(CAST(media_id AS VARCHAR) || CAST(j AS VARCHAR))), ''), 1, 192) AS px
+                 FROM ids WHERE media_id % 3 = 0),
+         pooled AS (SELECT media_id,
+                           'P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10) ||
+                           array_to_string(list_transform(generate_series(0, 47), i ->
+                             chr((ascii(substr(px, ((2*(i//12))  *8 + 2*((i%12)//3))  *3 + (i%3) + 1, 1)) +
+                                  ascii(substr(px, ((2*(i//12))  *8 + 2*((i%12)//3)+1)*3 + (i%3) + 1, 1)) +
+                                  ascii(substr(px, ((2*(i//12)+1)*8 + 2*((i%12)//3))  *3 + (i%3) + 1, 1)) +
+                                  ascii(substr(px, ((2*(i//12)+1)*8 + 2*((i%12)//3)+1)*3 + (i%3) + 1, 1))) // 4)), '') AS payload
+                    FROM img)
+         SELECT media_id, 4 AS width, 4 AS height, md5(payload) AS payload_md5 FROM pooled"""
   )
 }

@@ -178,21 +178,80 @@ object Multimodal {
       .drop("__n_frames")
   }
 
-  /** Resize: metadata-level transform (a real impl would also re-encode
-    * the payload; the stub keeps bytes opaque and rewrites the typed
-    * metadata, which is what downstream partition/pruning logic sees).
+  /** Average-pool a decoded PPM down to `maxWidth` columns and
+    * re-encode as binary P6. Integer-factor pooling only: the source
+    * width must be a multiple of `maxWidth` and the height a multiple
+    * of the factor (matching the pooled-feature grid semantics);
+    * per-channel output byte = floor(mean of the block's bytes).
+    * None when the payload is not PPM, already narrow enough, or not
+    * factor-divisible (callers fall back to the metadata-only path).
+    */
+  def resizePpm(payload: Array[Byte], maxWidth: Int): Option[(Array[Byte], Int, Int)] =
+    decodePpm(payload).flatMap { case (w, h, mv, px) =>
+      if (w <= maxWidth) None
+      else {
+        val f = w / maxWidth
+        if (w % maxWidth != 0 || h % f != 0) None
+        else {
+          val nh = h / f
+          val out = new Array[Byte](maxWidth * nh * 3)
+          var y = 0
+          while (y < nh) {
+            var x = 0
+            while (x < maxWidth) {
+              var c = 0
+              while (c < 3) {
+                var s = 0
+                var dy = 0
+                while (dy < f) {
+                  var dx = 0
+                  while (dx < f) { s += px(((y * f + dy) * w + (x * f + dx)) * 3 + c); dx += 1 }
+                  dy += 1
+                }
+                out((y * maxWidth + x) * 3 + c) = (s / (f * f)).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val header = s"P6\n$maxWidth $nh\n$mv\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          Some((header ++ out, maxWidth, nh))
+        }
+      }
+    }
+
+  /** Resize: PPM payloads are REALLY transcoded (average-pool
+    * downsample + P6 re-encode via [[resizePpm]], metadata rewritten
+    * from the actual new dimensions); everything else — audio/video,
+    * non-divisible or already-narrow images — keeps its bytes opaque
+    * and gets the metadata-level rewrite only (which is what
+    * downstream partition/pruning logic sees). Same batched
+    * partition-iteration shape as [[extractFeatures]].
     */
   def resize(df: DataFrame, maxWidth: Int): DataFrame = {
-    val w = col("meta.width")
-    val scale = when(w > maxWidth, lit(maxWidth) / w.cast("double")).otherwise(lit(1.0))
-    df.withColumn(
-      "meta",
-      struct(
-        least(w, lit(maxWidth)).cast("int").as("width"),
-        floor(col("meta.height") * scale).cast("int").as("height"),
-        col("meta.sample_rate").as("sample_rate"),
-        col("meta.duration_ms").as("duration_ms")
-      )
-    )
+    val schema = df.schema
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val pIx = schema.fieldIndex("payload")
+    val mIx = schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = r.getStruct(mIx)
+        if (meta == null) r
+        else {
+          val (w0, h0) = (meta.getInt(0), meta.getInt(1))
+          val vals = r.toSeq.toArray
+          resizePpm(r.getAs[Array[Byte]](pIx), maxWidth) match {
+            case Some((bytes, nw, nh)) =>
+              vals(pIx) = bytes
+              vals(mIx) = Row(nw, nh, meta.get(2), meta.get(3))
+            case None =>
+              val scale = if (w0 > maxWidth) maxWidth.toDouble / w0 else 1.0
+              vals(mIx) = Row(math.min(w0, maxWidth), math.floor(h0 * scale).toInt, meta.get(2), meta.get(3))
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }(enc)
   }
 }

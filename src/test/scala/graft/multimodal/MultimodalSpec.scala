@@ -80,4 +80,32 @@ class MultimodalSpec extends SparkSpec {
     // id 7: width 7%8*160+320 = 1440 -> 640; height 7%8*90+180 = 810 -> floor(810*640/1440)=360
     assert(one.getInt(0) == 640 && one.getInt(1) == 360)
   }
+
+  test("resize REALLY transcodes PPM payloads: 2x2 average pooling, byte-exact") {
+    val m = Multimodal.syntheticMedia(spark, 30L, ppmImages = true).filter(col("kind") === "image")
+    val r = Multimodal.resize(m, maxWidth = 4)
+    val orig = m.filter(col("media_id") === 0).head()
+    val row = r.filter(col("media_id") === 0).head()
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert(meta.getInt(0) == 4 && meta.getInt(1) == 4)
+    val Some((w, h, mv, px)) = Multimodal.decodePpm(row.getAs[Array[Byte]](row.fieldIndex("payload")))
+    assert(w == 4 && h == 4 && mv == 255)
+    val Some((ow, _, _, opx)) = Multimodal.decodePpm(orig.getAs[Array[Byte]](orig.fieldIndex("payload")))
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+      val s = (for (dy <- 0 to 1; dx <- 0 to 1) yield opx(((2 * y + dy) * ow + (2 * x + dx)) * 3 + c)).sum
+      assert(px((y * 4 + x) * 3 + c) == s / 4)
+    }
+    // pooled hex-digit bytes stay ASCII-range: md5 parity with a
+    // string-built oracle is sound
+    assert(px.forall(v => v >= 48 && v <= 102))
+  }
+
+  test("resize falls back to the metadata-only rewrite when pooling does not divide") {
+    val m = Multimodal.syntheticMedia(spark, 30L, ppmImages = true).filter(col("kind") === "image")
+    val before = m.select(col("media_id"), md5(col("payload")).as("h")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val r = Multimodal.resize(m, maxWidth = 3) // 8 % 3 != 0 -> no transcode
+    val after = r.select(col("media_id"), md5(col("payload")).as("h")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before == after)
+    assert(r.filter(col("meta.width") > 3).count() == 0)
+  }
 }
