@@ -53,7 +53,11 @@ object CleaningScalabilityBench {
     spark.sparkContext.setLogLevel("ERROR")
     val cols = voters(spark, 1).columns.filterNot(_ == "row_id").toSeq
 
-    for (n <- Seq(5000L, 10000L, 25000L)) {
+    val rowCounts = sys.env
+      .get("SPARK_GRAFT_SCALE_ROWS")
+      .map(_.split(",").toSeq.map(_.trim.toLong))
+      .getOrElse(Seq(5000L, 10000L, 25000L))
+    for (n <- rowCounts) {
       val clean = voters(spark, n).cache()
       // simple_mcar ef=2: ~2% of cells blanked, spread over all columns
       val dirty = cols.foldLeft(clean) { (df, c) =>
