@@ -1189,12 +1189,14 @@ object SparkEntry {
     "q24_ann_lsh" ->
       """WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          bk AS (SELECT id, t,
-                       list_sum(list_transform(generate_series(0, 3), j ->
+                       list_sum(list_transform(generate_series(0, 5), j ->
                          CASE WHEN list_dot_product(e, list_transform(generate_series(0, 63), d ->
-                                ((131 * (t * 4 + j) + d) * 1103515245 + 12345) % 2147483648 / 1073741824.0 - 1.0)) >= 0
+                                ((131 * (t * 6 + j) + d) * 1103515245 + 12345) % 2147483648 / 1073741824.0 - 1.0)) >= 0
                               THEN 1 << j ELSE 0 END)) AS key
-                FROM c CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS t) tt),
-         qb AS (SELECT id AS query_id, t, key FROM bk WHERE id < 5),
+                FROM c CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS t) tt),
+         qb AS (SELECT id AS query_id, t, xor(key, m) AS key
+                FROM bk CROSS JOIN (SELECT unnest([0,1,2,4,8,16,32,3,5,6,9,10,12,17,18,20,24,33,34,36,40,48]) AS m)
+                WHERE id < 5),
          cand AS (SELECT DISTINCT qb.query_id, bk.id
                   FROM bk JOIN qb ON bk.t = qb.t AND bk.key = qb.key AND bk.id <> qb.query_id),
          q AS (SELECT id AS query_id, e AS qe FROM c WHERE id < 5),

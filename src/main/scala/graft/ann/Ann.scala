@@ -104,6 +104,12 @@ object Ann {
     * tables — the shuffle-friendly candidate-generation shape: keys,
     * never pairs, cross the wire.
     */
+  /** All XOR masks of Hamming weight <= `bits` over `planes` bit
+    * positions, ascending (0 first = the exact bucket).
+    */
+  private[ann] def probeMasks(planes: Int, bits: Int): Seq[Int] =
+    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= bits)
+
   private def bucketRelation(df: DataFrame, idName: String, tables: Int, planes: Int, maxDim: Int): DataFrame = {
     val withProj = df.select(col(idName), allProjections(col("embedding"), tables, planes, maxDim).as("__proj"))
     val keys = (0 until tables).map { t =>
@@ -117,20 +123,26 @@ object Ann {
       .select(col(idName), col("bk.tb").as("tb"), col("bk.key").as("key"))
   }
 
-  /** Multi-table LSH approximate top-k: `tables` independent sign-
-    * bucket tables of `planes` hyperplanes each; a (query, doc) pair
-    * becomes a candidate when it shares ANY table's bucket, then each
-    * query reranks its candidate set exactly. Union-of-tables recall
-    * is 1-(1-p^planes)^tables (p = 1 - angle/pi); see SimilaritySpec
-    * for the measured figure on the test corpus. More tables -> higher
-    * recall, more candidates; more planes -> smaller buckets.
+  /** Multi-table LSH approximate top-k with query-side multi-probe:
+    * `tables` independent sign-bucket tables of `planes` hyperplanes
+    * each; a (query, doc) pair becomes a candidate when the doc's
+    * bucket is within Hamming distance `probeBits` of the query's
+    * bucket in ANY table, then each query reranks its candidate set
+    * exactly. Multi-probe moves work from the CORPUS side (which at
+    * 100 TB dominates: one bucket row per vector per table) to the
+    * QUERY side (a few extra broadcast-side keys per query): per-table
+    * hit probability rises from p^planes to P(Hamming <= probeBits)
+    * under per-plane agreement p = 1 - angle/pi, so the same recall
+    * needs HALF the tables of the probe-free config. See
+    * SimilaritySpec for the measured recall on the test corpus.
     */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      planes: Int = 4,
-      tables: Int = 32
+      planes: Int = 6,
+      tables: Int = 16,
+      probeBits: Int = 2
   ): DataFrame = {
     // the corpus-side projection pass is the CPU-heavy stage — spread
     // a single-partition input across the cores (no-op at scale)
@@ -144,7 +156,16 @@ object Ann {
     // wider than the probed dim still fail loudly via the dim guard.
     val maxDim = embeddingDim(c)
     val cB = bucketRelation(c, "id", tables, planes, maxDim)
-    val qB = bucketRelation(q.withColumnRenamed("q_emb", "embedding"), "query_id", tables, planes, maxDim)
+    val qB0 = bucketRelation(q.withColumnRenamed("q_emb", "embedding"), "query_id", tables, planes, maxDim)
+    // probe expansion: every bucket key within Hamming distance
+    // `probeBits` of the query's own key (tiny: |queries| * tables *
+    // C(planes, <=probeBits) rows, all broadcast)
+    val qB = qB0
+      .select(
+        col("query_id"),
+        col("tb"),
+        explode(array(probeMasks(planes, probeBits).map(m => col("key").bitwiseXOR(lit(m))): _*)).as("key")
+      )
     val cand = cB
       .join(broadcast(qB), Seq("tb", "key"))
       .filter(col("id") =!= col("query_id"))
