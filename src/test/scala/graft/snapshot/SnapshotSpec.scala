@@ -61,6 +61,41 @@ class SnapshotSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tiers/_metrics").count() == 2)
   }
 
+  test("incremental update with a lang histogram == one-shot, all 4 tiers (hist through the cascade)") {
+    // the 1h/1d tiers re-rollup the cached finer output IN MEMORY —
+    // this pins that path through the two-branch lang_hist aggregation
+    // (measures + histogram join), cross-checked against fromRaw
+    val root = tmpDir("snap_hist_src")
+    val tiers = tmpDir("snap_hist_tiers")
+    val pages = graft.pages.PageGen.clean(spark, 4000).cache()
+    val keyed = pages.withColumn("domain", graft.pages.PageGen.domainOf("url"))
+    val b1 = pages.filter(xxhash64(col("url")) % 2 === 0)
+    val b2 = pages.filter(xxhash64(col("url")) % 2 =!= 0)
+    def mapFree(df: DataFrame): DataFrame =
+      df.withColumn("lang_hist", array_sort(map_entries(col("lang_hist"))))
+
+    SnapshotStore.append(root, b1, tsCol = Some("warc_ts"))
+    ContinuousRollup.update(
+      spark, root, tiers, Seq("domain"), "warc_ts",
+      length(col("html")).cast("long"), langCol = Some("lang"),
+      prepare = df => df.withColumn("domain", graft.pages.PageGen.domainOf("url"))
+    )
+    SnapshotStore.append(root, b2, tsCol = Some("warc_ts"))
+    ContinuousRollup.update(
+      spark, root, tiers, Seq("domain"), "warc_ts",
+      length(col("html")).cast("long"), langCol = Some("lang"),
+      prepare = df => df.withColumn("domain", graft.pages.PageGen.domainOf("url"))
+    )
+    for (t <- Seq("1m", "1h", "1d", "30d")) {
+      val got = mapFree(ContinuousRollup.readTier(spark, tiers, t))
+      val want = mapFree(
+        Rollup.fromRaw(keyed, Seq("domain"), "warc_ts", t, length(col("html")).cast("long"), langCol = Some("lang"))
+      )
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"hist tier $t mismatch")
+    }
+    pages.unpersist()
+  }
+
   test("day-partitioned appends prune incremental update I/O to touched partitions") {
     val root = tmpDir("snap_src3")
     val tiers = tmpDir("snap_tiers3")
