@@ -90,7 +90,10 @@ object Main {
         // capped at the slowest consumer, an explicit upTo beyond a
         // marker is refused inside `compact`
         val consumers = kv.get("tiers").map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-        val markerCap = consumers.map(ContinuousRollup.lastApplied).minOption.getOrElse(Long.MaxValue)
+        // never-updated consumers (marker 0) don't cap the default:
+        // they re-fold from the compacted base safely
+        val markerCap =
+          consumers.map(ContinuousRollup.lastApplied).filter(_ > 0L).minOption.getOrElse(Long.MaxValue)
         val upTo = kv
           .get("upTo")
           .map(_.toLong)

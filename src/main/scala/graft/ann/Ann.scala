@@ -98,7 +98,12 @@ object Ann {
     * job). Falls back to 512 on an empty input so plans still build.
     */
   private def embeddingDim(df: DataFrame): Int =
-    df.select(size(col("embedding"))).head(1).headOption.map(_.getInt(0)).getOrElse(512)
+    df.filter(col("embedding").isNotNull) // a null first row must not NPE the probe
+      .select(size(col("embedding")))
+      .head(1)
+      .headOption
+      .map(_.getInt(0))
+      .getOrElse(512)
 
   /** (id, tb, key) bucket relation over `tables` independent LSH
     * tables — the shuffle-friendly candidate-generation shape: keys,

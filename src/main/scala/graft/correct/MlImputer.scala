@@ -55,6 +55,10 @@ object MlImputer {
     val nonNumeric = clean
       .select(cols.map(c => max(when(col(c) =!= "" && col(c).try_cast("double").isNull, 1).otherwise(0)).as(c)): _*)
       .head()
+    // every row has an error cell -> no training data at all: the
+    // max() row above is all-null and every per-column keep-guard
+    // would fail anyway, so return empty instead of NPE-ing on unbox
+    if (nonNumeric.isNullAt(0)) { clean.unpersist(); return Correctors.emptySuggestions(spark) }
     val numericCols = cols.zipWithIndex.collect { case (c, i) if nonNumeric.getInt(i) == 0 => c }.toSet
 
     // independent per-target fits, overlapped on a bounded driver pool

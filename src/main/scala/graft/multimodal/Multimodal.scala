@@ -95,11 +95,17 @@ object Multimodal {
       while (pos < payload.length && Character.isWhitespace(payload(pos))) pos += 1
       val st = pos
       while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') pos += 1
-      if (pos == st) -1 else new String(payload, st, pos - st).toInt
+      // malformed (no digits) or absurd (overflow-risk) tokens -> -1,
+      // so the caller's None path fires instead of NumberFormatException
+      if (pos == st || pos - st > 9) -1 else new String(payload, st, pos - st).toInt
     }
     val w = readInt(); val h = readInt(); val mv = readInt()
     pos += 1 // the single whitespace after maxval
-    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255 || payload.length < pos + w * h * 3) return None
+    // pixel-count math in Long: w*h*3 must not overflow Int into a
+    // negative bound that lets the length guard pass
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return None
+    val need = w.toLong * h * 3
+    if (need > Int.MaxValue - pos || payload.length < pos + need) return None
     val px = new Array[Int](w * h * 3)
     var i = 0
     while (i < px.length) { px(i) = payload(pos + i) & 0xff; i += 1 }
@@ -234,21 +240,32 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val pIx = schema.fieldIndex("payload")
     val mIx = schema.fieldIndex("meta")
+    // meta fields resolved BY NAME against the frame's own struct
+    // schema (callers may order/extend the struct differently)
+    val metaType = schema(mIx).dataType.asInstanceOf[StructType]
+    val wIx = metaType.fieldIndex("width")
+    val hIx = metaType.fieldIndex("height")
     df.mapPartitions { rows =>
       rows.map { r =>
         val meta = r.getStruct(mIx)
-        if (meta == null) r
+        // no metadata or no dimensions -> nothing to resize
+        if (meta == null || meta.isNullAt(wIx) || meta.isNullAt(hIx)) r
         else {
-          val (w0, h0) = (meta.getInt(0), meta.getInt(1))
+          val (w0, h0) = (meta.getInt(wIx), meta.getInt(hIx))
           val vals = r.toSeq.toArray
-          resizePpm(r.getAs[Array[Byte]](pIx), maxWidth) match {
+          val metaVals = meta.toSeq.toArray
+          val payload = if (r.isNullAt(pIx)) null else r.getAs[Array[Byte]](pIx)
+          (if (payload == null) None else resizePpm(payload, maxWidth)) match {
             case Some((bytes, nw, nh)) =>
               vals(pIx) = bytes
-              vals(mIx) = Row(nw, nh, meta.get(2), meta.get(3))
+              metaVals(wIx) = nw
+              metaVals(hIx) = nh
             case None =>
               val scale = if (w0 > maxWidth) maxWidth.toDouble / w0 else 1.0
-              vals(mIx) = Row(math.min(w0, maxWidth), math.floor(h0 * scale).toInt, meta.get(2), meta.get(3))
+              metaVals(wIx) = math.min(w0, maxWidth)
+              metaVals(hIx) = math.floor(h0 * scale).toInt
           }
+          vals(mIx) = Row.fromSeq(metaVals.toIndexedSeq)
           Row.fromSeq(vals.toIndexedSeq)
         }
       }

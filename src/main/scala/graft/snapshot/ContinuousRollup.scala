@@ -188,6 +188,20 @@ object ContinuousRollup {
     val StoredDayCol = "__graft_stored_day"
     val dayRe = "part_day=([0-9]{4}-[0-9]{2}-[0-9]{2})"
     val canPrune = SnapshotStore.hasDayInfo(sourceRoot, 0L, to)
+
+    // Why suspect-row landing days need no special recompute handling:
+    // a suspect row's landing day was touched by the update that first
+    // folded it (its own batch's day set includes the landing day), so
+    // its tier partitions exist and stay correct as long as the repair
+    // is row-local — i.e. the SAME row always lands on the SAME day.
+    // That stability requirement is part of the prepare contract for
+    // ALL partition-deciding repairs, suspect rows included: a repair
+    // whose landing day drifts between updates leaves the old day's
+    // partitions stale (in the 1m/1h/1d tiers under every version of
+    // this design), which no pruned incremental scheme can detect
+    // without re-reading history. The guards below bless suspect rows
+    // landing on non-needed days precisely because, under the
+    // contract, those days' partitions were already computed.
     val neededDays: Set[String] = days.map(_.toString)
     val (prepared, readDirs, dirsTotal) =
       if (!canPrune) {
@@ -300,11 +314,13 @@ object ContinuousRollup {
         case "1m" =>
           // the single raw aggregation of the update: every coarser
           // tier re-rolls up from this result (associative measures;
-          // RollupSpec pins fromRaw == reRollup)
-          val touched = newRows.select(partKeyOfPoint(tsCol, tier).as("part_key")).distinct()
+          // RollupSpec pins fromRaw == reRollup). Touched days are a
+          // driver-side literal — a plain pushable predicate at the
+          // scan, cheaper than the former broadcast semi-join.
+          val touchedDays = days.toSeq.sorted.map(java.sql.Date.valueOf)
           val affected = tierRows
             .withColumn("part_key", partKeyOfPoint(tsCol, tier))
-            .join(broadcast(touched), Seq("part_key"), "left_semi")
+            .filter(col("part_key").isin(touchedDays: _*))
           Rollup.fromRaw(affected, series, tsCol, tier, sizeCol, langCol = langCol)
         case "1h" =>
           Rollup.reRollup(finerOut.get.drop("part_key"), series, "1m" -> "1h")

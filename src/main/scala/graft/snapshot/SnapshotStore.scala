@@ -153,8 +153,12 @@ object SnapshotStore {
     )
     consumerTiersRoots.foreach { tr =>
       val applied = ContinuousRollup.lastApplied(tr)
+      // applied == 0 (never updated, or marker lost) is SAFE past a
+      // rebase: the next update reads (0, to], and resolveDirs serves
+      // fromExclusive == 0 from the compacted base — a from-scratch
+      // fold recomputes every partition, which is the idempotent path
       require(
-        applied >= upTo,
+        applied == 0L || applied >= upTo,
         s"cannot compact through snapshot $upTo: consumer '$tr' has only applied $applied — " +
           "its next update would need diff granularity the rebase erases. Run its update first " +
           "or compact to a smaller upTo."

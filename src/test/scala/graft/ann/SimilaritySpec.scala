@@ -32,6 +32,14 @@ class SimilaritySpec extends SparkSpec {
     hit / e.count()
   }
 
+  test("a null embedding in the corpus does not break the dim probe") {
+    val withNull = emb
+      .withColumn("embedding", when(col("id") === emb.agg(min("id")).head().getLong(0), lit(null)).otherwise(col("embedding")))
+    // plan construction probes the dim from the first non-null row
+    val out = Ann.lshTopK(withNull, queries, k = 3)
+    assert(out.count() > 0)
+  }
+
   test("multi-table LSH top-k: recall >= 0.7 vs brute force") {
     val exact = Ann.bruteForceTopK(emb, queries, k = 10)
     val approx = Ann.lshTopK(emb, queries, k = 10)

@@ -75,4 +75,15 @@ class OpenmlDatasetsSpec extends SparkSpec {
     assert(run("41027") >= 0.45)
     assert(run("43572") >= 0.40)
   }
+
+  test("MlImputer returns empty suggestions when every row has an error cell") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z"))
+      .toDF("row_id", "c1", "c2")
+    // one detected cell per row -> zero error-free training rows
+    val detected = Seq((1L, "c1", "a"), (2L, "c2", "y"), (3L, "c1", "a"))
+      .toDF("row_id", "col", "error_value")
+    val out = MlImputer.suggest(df, "row_id", Seq("c1", "c2"), detected)
+    assert(out.isEmpty)
+  }
 }

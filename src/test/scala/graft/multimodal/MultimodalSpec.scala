@@ -100,6 +100,36 @@ class MultimodalSpec extends SparkSpec {
     assert(px.forall(v => v >= 48 && v <= 102))
   }
 
+  test("decodePpm returns None on absurd headers instead of throwing") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    // oversized dimension token (would NumberFormatException naively)
+    assert(Multimodal.decodePpm("P6\n99999999999 8\n255\nxxx".getBytes(ascii)).isEmpty)
+    // w*h*3 overflows Int (46341^2*3 < 0) — must not pass the length guard
+    assert(Multimodal.decodePpm("P6\n46341 46341\n255\nxxx".getBytes(ascii)).isEmpty)
+  }
+
+  test("resize tolerates null payloads and null dimensions") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      Seq(
+        StructField("media_id", LongType),
+        StructField("payload", BinaryType),
+        StructField("meta", Multimodal.MetaType)
+      )
+    )
+    val rows = java.util.Arrays.asList(
+      Row(1L, null, Row(1280, 720, 0, 0L)),              // null payload -> metadata-only path
+      Row(2L, Array[Byte](1, 2, 3), Row(null, 720, 0, 0L)), // null width -> untouched
+      Row(3L, Array[Byte](1, 2, 3), null)                // null meta -> untouched
+    )
+    val df = spark.createDataFrame(rows, schema)
+    val out = Multimodal.resize(df, maxWidth = 640).collect().sortBy(_.getLong(0))
+    assert(out(0).getStruct(2).getInt(0) == 640) // clamped despite null payload
+    assert(out(1).getStruct(2).isNullAt(0))      // null width preserved
+    assert(out(2).isNullAt(2))                   // null meta preserved
+  }
+
   test("resize falls back to the metadata-only rewrite when pooling does not divide") {
     val m = Multimodal.syntheticMedia(spark, 30L, ppmImages = true).filter(col("kind") === "image")
     val before = m.select(col("media_id"), md5(col("payload")).as("h")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap

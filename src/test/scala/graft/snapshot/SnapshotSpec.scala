@@ -286,6 +286,20 @@ class SnapshotSpec extends SparkSpec {
     assert(ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L)) == 2L)
   }
 
+  test("compaction proceeds for a registered-but-never-updated consumer, which then folds from the base") {
+    val root = tmpDir("snap_compact_fresh")
+    val tiers = tmpDir("snap_compact_fresh_tiers") // marker = 0: no update yet
+    SnapshotStore.append(root, events.filter(col("event_id") % 2 === 0), tsCol = Some("ts"))
+    SnapshotStore.append(root, events.filter(col("event_id") % 2 === 1), tsCol = Some("ts"))
+    // a fresh consumer (applied = 0) reads (0, to] from the compacted
+    // base safely — it must not block maintenance
+    SnapshotStore.compact(spark, root, 2L, consumerTiersRoots = Seq(tiers))
+    assert(ContinuousRollup.update(spark, root, tiers, Seq("event_type"), "ts", lit(1L)) == 2L)
+    val got = ContinuousRollup.readTier(spark, tiers, "1h")
+    val want = fullTier(events, "1h")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("a stale manifest surviving a compaction crash never double-counts") {
     val root = tmpDir("snap_crash")
     SnapshotStore.append(root, events.filter(col("event_id") % 2 === 0), tsCol = Some("ts"))
