@@ -326,8 +326,12 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"),
           // real pixel-derived features for the image rows: the pooled
           // 4x4 grayscale INTEGER sums of the decoded 8x8 P6 payload —
-          // exact engine parity (the oracle re-decodes the same bytes)
-          col("gray_sums")
+          // exact engine parity (the oracle re-decodes the same bytes).
+          // Serialized as a CSV string (null for non-image rows — guard
+          // needed because concat_ws maps a NULL array to "") so every
+          // output column stays scalar for the driver's comparer.
+          when(col("gray_sums").isNotNull, concat_ws(",", col("gray_sums")))
+            .as("gray_sums")
         )
     }),
 
@@ -1342,11 +1346,11 @@ object SparkEntry {
                FROM m)
          SELECT media_id, kind, 16 AS dim, md5(payload) AS payload_md5,
                 CASE WHEN kind = 'image' THEN
-                  list_transform(generate_series(0, 15), cell ->
+                  array_to_string(list_transform(generate_series(0, 15), cell ->
                     CAST(list_sum(list_transform(generate_series(0, 11), k ->
                       ascii(substr(px,
                         ((2 * (cell // 4) + k // 6) * 8 + (2 * (cell % 4) + (k // 3) % 2)) * 3 + (k % 3) + 1,
-                        1)))) AS BIGINT))
+                        1)))) AS BIGINT)), ',')
                 END AS gray_sums
          FROM p""",
     // Frame sampling parity: 512-byte payloads -> 8 frames of 64,
