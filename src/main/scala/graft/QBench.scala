@@ -12,7 +12,9 @@ object QBench {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
-      .config("spark.driver.memory", "48g")
+      // heap comes from build.sbt javaOptions (-Xmx via SPARK_DRIVER_MEM,
+      // default 48g): setting spark.driver.memory after JVM start is a
+      // no-op in local mode
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = if (args.length > 1) args(1).toInt else 2

@@ -199,7 +199,17 @@ object SparkEntry {
 
     // ---- dedup: word-3-gram Jaccard pairs (exact) ----
     "q14_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+      // maxShingleDf guards the shingle self-join against boilerplate
+      // blowup; 128 does not bind on this corpus (max df 25 at sf0.1),
+      // so the oracle SQL needs no cap clause and output is exact
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"),
+        "doc_id",
+        "text",
+        n = 3,
+        threshold = 0.5,
+        maxShingleDf = 128L
+      )
     }),
 
     // ---- similarity: brute-force cosine top-k ----

@@ -116,7 +116,15 @@ object Ann {
     (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= bits)
 
   private def bucketRelation(df: DataFrame, idName: String, tables: Int, planes: Int, maxDim: Int): DataFrame = {
-    val withProj = df.select(col(idName), allProjections(col("embedding"), tables, planes, maxDim).as("__proj"))
+    // A NULL embedding null-propagates through the projection
+    // expression, which would turn every sign bit into 0 and dump the
+    // row into bucket key 0 of EVERY table — a silent hot-bucket
+    // O(n^2) hazard on null-heavy corpora. Null rows can never be
+    // reranked anyway (cosine with null is null), so exclude them from
+    // candidate generation entirely.
+    val withProj = df
+      .filter(col("embedding").isNotNull)
+      .select(col(idName), allProjections(col("embedding"), tables, planes, maxDim).as("__proj"))
     val keys = (0 until tables).map { t =>
       val bits = (0 until planes).map { j =>
         when(element_at(col("__proj"), t * planes + j + 1) >= 0, shiftleft(lit(1), j)).otherwise(lit(0))

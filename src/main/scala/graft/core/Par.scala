@@ -22,13 +22,26 @@ object Par {
       body: A => B
   ): Array[B] = {
     if (units.length <= 1 || maxThreads <= 1) return units.map(body)
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future, Promise}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(maxThreads, units.length))
     val ec   = ExecutionContext.fromExecutorService(pool)
     try {
       val futs = units.map(u => Future(body(u))(ec))
-      futs.map(Await.result(_, Duration.Inf))
-    } finally pool.shutdown()
+      // Fail fast: the first unit failure (in completion order, not
+      // index order) unblocks the caller immediately; the finally block
+      // then interrupts sibling units and waits for them to exit, so no
+      // orphaned unit keeps reading caller-owned resources (e.g. a
+      // shared cached DataFrame the caller unpersists while unwinding).
+      val result = Promise[Array[B]]()
+      futs.foreach(_.failed.foreach(result.tryFailure)(ec))
+      Future
+        .sequence(futs.toIndexedSeq)(scala.collection.BuildFrom.buildFromIterableOps, ec)
+        .foreach(r => result.trySuccess(r.toArray))(ec)
+      Await.result(result.future, Duration.Inf)
+    } finally {
+      pool.shutdownNow()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
   }
 }

@@ -49,15 +49,45 @@ object Dedup {
   /** Exact n-gram Jaccard near-duplicate pairs. Emits integer overlap
     * and union sizes (exact, order-free) plus the pair ids, for pairs
     * with jaccard >= threshold and id_a < id_b.
+    *
+    * `maxShingleDf` is the scale guard on the shingle self-join: that
+    * join is quadratic in per-shingle document frequency, so ONE
+    * boilerplate phrase shared by a million docs would join 10^12
+    * rows. Shingles with document frequency above the cap are dropped
+    * from the shingle space BEFORE sizes and overlap are computed
+    * (standard near-dup practice — an ultra-common shingle carries no
+    * dedup signal), and the drop is logged loudly. Pairs whose shared
+    * shingles all sit below the cap are exact. Default disables the
+    * cap (verify-path semantics); any at-scale caller must set it.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double
+      threshold: Double,
+      maxShingleDf: Long = Long.MaxValue
   ): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    val sh0 = shingles(df, idCol, textCol, n)
+    val sh =
+      if (maxShingleDf == Long.MaxValue) sh0
+      else {
+        val hot = sh0
+          .groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select("shingle")
+        val nHot = hot.count()
+        if (nHot > 0)
+          org.slf4j.LoggerFactory
+            .getLogger(getClass)
+            .warn(
+              s"ngramJaccardPairs: dropping $nHot shingle(s) with document frequency > $maxShingleDf " +
+                "before the pair join (hot-shingle scale guard); pairs connected only by dropped " +
+                "shingles will not be emitted"
+            )
+        sh0.join(hot, Seq("shingle"), "left_anti")
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val a = sh.withColumnRenamed("id", "id_a")
     val b = sh.withColumnRenamed("id", "id_b")

@@ -40,6 +40,44 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("null embeddings are excluded from LSH buckets (no silent bucket-0 pileup)") {
+    // a null embedding null-propagates through the projection, which
+    // would default every sign bit to 0 and dump the row in bucket 0 of
+    // EVERY table — candidate generation must drop such rows instead
+    val nullIds = Seq(-1L, -2L, -3L)
+    val nullRows = spark
+      .createDataFrame(spark.sparkContext.parallelize(nullIds.map(org.apache.spark.sql.Row(_))),
+        new org.apache.spark.sql.types.StructType().add("id", "long", nullable = false))
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    val corpus = emb.unionByName(nullRows)
+    val out = Ann.lshTopK(corpus, queries, k = 10).cache()
+    assert(out.filter(col("neighbor_id") < 0).isEmpty, "null-embedding rows must never be candidates")
+    // and the non-null results are unaffected by their presence
+    val base = Ann.lshTopK(emb, queries, k = 10)
+    assert(out.except(base).isEmpty && base.except(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("hot-shingle DF cap stops the quadratic boilerplate explosion, keeps real pairs") {
+    import spark.implicits._
+    // 1000 docs sharing ONE boilerplate 3-gram (each with a unique
+    // tail) would make ~500k candidate pairs in the uncapped join;
+    // docs 2000/2001 share 10 rare shingles and must survive the cap
+    val boiler = (0 until 1000).map(i => (i.toLong, s"click here now tail$i"))
+    val realA = (2000L, (0 until 12).map(j => s"tok$j").mkString(" "))
+    val realB = (2001L, (0 until 12).map(j => s"tok$j").mkString(" ") + " extra")
+    val docs = (boiler :+ realA :+ realB).toDF("doc_id", "text")
+    val capped = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = 100L)
+      .cache()
+    assert(capped.count() == 1)
+    val r = capped.head()
+    assert(r.getLong(0) == 2000L && r.getLong(1) == 2001L)
+    assert(capped.filter(col("id_a") < 1000 && col("id_b") < 1000).isEmpty,
+      "pairs connected only by the hot boilerplate shingle must not be emitted")
+    capped.unpersist()
+  }
+
   test("multi-table LSH top-k: recall >= 0.7 vs brute force") {
     val exact = Ann.bruteForceTopK(emb, queries, k = 10)
     val approx = Ann.lshTopK(emb, queries, k = 10)
