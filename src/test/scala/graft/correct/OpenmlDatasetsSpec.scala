@@ -63,17 +63,22 @@ class OpenmlDatasetsSpec extends SparkSpec {
   }
 
   test("openml imputer block, remaining datasets") {
-    // reference: 41027 -> 0.82, 43572 -> 0.90 — both honest
-    // model-class gaps, floors pin the measured levels (0.54 / 0.48)
-    // to catch regressions only. 41027 (jungle-chess endgames,
-    // first-1000-row slice) enumerates adjacent positions with
-    // flipping outcomes: 1-NN scores 0.24 and seeded RF/GBT land near
-    // 0.3 raw (the ensemble's fd/cache members lift it to 0.54); the
-    // reference's 0.82 rides AutoGluon's stacked model zoo. 43572
-    // predicts a movie's Year, where the reference's edge is
-    // AutoGluon's text featurization of Title/Description.
-    assert(run("41027") >= 0.45)
-    assert(run("43572") >= 0.40)
+    // 41027 (jungle-chess endgames): axis-aligned splits on raw
+    // file/rank grid coordinates cannot express the relative-position
+    // structure — the pairwise delta/|delta|/delta-parity interaction
+    // block in MlImputer closes it (measured here 0.98 vs the
+    // reference's 0.82 full-ensemble / 0.80 auto_instance-only — its
+    // own ablation, measurements/ablation-study/2024-04-27).
+    assert(run("41027") >= 0.90)
+    // 43572 (movies, predict Year): the reference's published 0.90 is
+    // GPT world knowledge, NOT its imputer — its own ablation scores
+    // auto_instance ALONE at 0.40 and llm_master (gpt-3.5-turbo,
+    // which simply knows movie release years) ALONE at 0.936. The
+    // offline ceiling is low: majority class is 0.297, a hashed
+    // 1-3-gram naive-Bayes text model measures 0.285, numeric 1-NN
+    // 0.30. Our 0.52 BEATS the reference's imputer (0.40); the floor
+    // pins that level.
+    assert(run("43572") >= 0.45)
   }
 
   test("MlImputer returns empty suggestions when every row has an error cell") {
