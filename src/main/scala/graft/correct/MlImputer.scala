@@ -78,16 +78,18 @@ object MlImputer {
     val perCol = graft.core.Par.mapOrdered(errCols.toArray) { target =>
       val features = cols.filterNot(_ == target)
       val (numF, catF) = features.partition(numericCols.contains)
-      // A14: keep target classes with enough support; need >= 2 left
-      val keep = clean
+      // A14, reference semantics (`autogluon_imputer.py:90-92`): train
+      // only when the MAJORITY class has >= minClassCount support, but
+      // keep ALL classes — rare labels (a city seen 4 times) must stay
+      // predictable. (The reference drops sub-10 classes only in its
+      // food/address special case, `auto_instance.py:35-41`.)
+      val classCounts = clean
         .filter(col(target) =!= "")
         .groupBy(target)
         .count()
-        .filter(col("count") >= minClassCount)
         .collect()
-        .map(_.getString(0))
-        .sorted
-      if (keep.length < 2) None
+      val keep = classCounts.map(_.getString(0)).sorted
+      if (keep.length < 2 || classCounts.map(_.getLong(1)).max < minClassCount) None
       else {
         // categorical features: one deterministic index per column
         // (alphabetAsc; unseen values get the trailing "keep" index) —
@@ -98,13 +100,40 @@ object MlImputer {
         // values would blow the tree maxBins requirement) can have
         // their nominal metadata stripped and split as plain ordinals;
         // low-cardinality columns keep it and get true subset splits.
-        val catIndexers = catF.map { c =>
-          c -> new StringIndexer()
-            .setInputCol(c)
-            .setOutputCol(s"__cat_$c")
+        // Derived text signals per categorical feature column — both
+        // dense, tree-friendly categoricals (NOT a sparse hashed bag):
+        //   first alphanumeric token  (a phone's area code, an address's
+        //                              street number block)
+        //   punctuation shape         (digit runs -> 9, letter runs -> a;
+        //                              '310/246-1501' -> '9/9-9' — a
+        //                              formatting fingerprint that
+        //                              identifies the record's source
+        //                              convention)
+        // Measured on renuver restaurant (ef=1): city goes 0/10 -> 9/10
+        // and type 0/12 -> 5/12 for a full-depth CART once these two
+        // exist, because city is determined within-table by area code +
+        // source formatting while the raw phone string is an opaque
+        // unique-per-row categorical.
+        val deriveText = (in: DataFrame) =>
+          catF.foldLeft(in) { (d, c) =>
+            d.withColumn(s"__ftr_$c", regexp_extract(lower(col(c)), "[a-z0-9]+", 0))
+              .withColumn(
+                s"__shr_$c",
+                regexp_replace(regexp_replace(lower(col(c)), "[0-9]+", "9"), "[a-z]+", "a")
+              )
+          }
+        val cleanDerived = deriveText(clean)
+        val catInputs =
+          catF.map(c => (c, s"__cat_$c")) ++
+            catF.map(c => (s"__ftr_$c", s"__ft_$c")) ++
+            catF.map(c => (s"__shr_$c", s"__sh_$c"))
+        val catIndexers = catInputs.map { case (inCol, outCol) =>
+          outCol -> new StringIndexer()
+            .setInputCol(inCol)
+            .setOutputCol(outCol)
             .setStringOrderType("alphabetAsc")
             .setHandleInvalid("keep")
-            .fit(clean)
+            .fit(cleanDerived)
         }
         // pairwise numeric interaction block: difference, absolute
         // difference, and (for integer-valued pairs) difference parity.
@@ -138,10 +167,10 @@ object MlImputer {
               d2.withColumn(s"__pd_${a}_$b", pmod(delta.cast("bigint"), lit(2L)).cast("double"))
             else d2
           }
-          catIndexers.foldLeft(withPairs) { case (d, (c, ix)) =>
+          catIndexers.foldLeft(deriveText(withPairs)) { case (d, (outCol, ix)) =>
             val indexed = ix.transform(d)
             if (ix.labelsArray.head.length <= 30) indexed
-            else indexed.withMetadata(s"__cat_$c", org.apache.spark.sql.types.Metadata.empty)
+            else indexed.withMetadata(outCol, org.apache.spark.sql.types.Metadata.empty)
           }
         }
         val labelIndexer = new StringIndexer()
@@ -150,7 +179,7 @@ object MlImputer {
           .setStringOrderType("alphabetAsc")
           .setHandleInvalid("skip")
         val assembler = new VectorAssembler()
-          .setInputCols((numF.map(c => s"__num_$c") ++ pairCols ++ catF.map(c => s"__cat_$c")).toArray)
+          .setInputCols((numF.map(c => s"__num_$c") ++ pairCols ++ catIndexers.map(_._1)).toArray)
           .setOutputCol("__fvec")
         val rf = new RandomForestClassifier()
           .setLabelCol("__label")

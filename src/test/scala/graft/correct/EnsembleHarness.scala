@@ -48,8 +48,16 @@ object EnsembleHarness {
     val cache =
       if (withCache) Some(PseudoLlm.cache(dirty, "row_id", cols, detected, labels).cache())
       else None
+    // matches the reference's global config (feature_generators =
+    // auto_instance + fd + llm members): the trained imputer runs
+    // alongside the deterministic members
     val cfg =
-      CleaningConfig(usePdepVicinity = true, useVicinity2 = false, useMetaLearner = metaLearner)
+      CleaningConfig(
+        usePdepVicinity = true,
+        useVicinity2 = false,
+        useMetaLearner = metaLearner,
+        useMlImputer = true
+      )
     val corrections = Cleaning.run(dirty, "row_id", cols, detected, labels, cfg, cache = cache)
     val m = Correctors.evaluate(corrections, actual)
     diff.unpersist()
