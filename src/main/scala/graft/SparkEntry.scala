@@ -751,6 +751,95 @@ object SparkEntry {
           col("meta.height").as("height"),
           md5(col("payload")).as("payload_md5")
         )
+    }),
+
+    // ---- S1/S3: all-string CSV sink + source round-trip. The engine
+    //      WRITES customer-derived rows (with planted empty strings)
+    //      through the CSV sink and reads them back; the oracle
+    //      computes the same relation straight from parquet — so a
+    //      hash match proves `""` survives the round-trip as the empty
+    //      string (null would print and hash differently) ----
+    "q56_csv_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_q56/csv"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q56")
+      val src = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("row_id"),
+        col("c_name").as("name"),
+        when(col("c_custkey") % 7 === 0, lit("")).otherwise(col("c_mktsegment")).as("segment")
+      )
+      graft.sources.StringCsv.write(src, out)
+      graft.sources.StringCsv
+        .read(s, out, Seq("row_id", "name", "segment"))
+        .withColumn("row_id", col("row_id").cast("long"))
+    }),
+
+    // ---- snapshot compaction: three appends folded + compacted to a
+    //      single base; the tier table read AFTER the rebase must hash
+    //      to the one-shot rollup of all events, and the data-dir
+    //      count must have dropped to 1 (files_reduced) ----
+    "q57_compaction" -> ((s, dir) => {
+      val root = "/tmp/graft_q57/src"
+      val tiers = "/tmp/graft_q57/tiers"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q57")
+      val ev = t(s, dir, "events")
+      (0 to 2).foreach { i =>
+        graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(3)) === i), tsCol = Some("ts"))
+      }
+      graft.snapshot.ContinuousRollup.update(s, root, tiers, Seq("event_type"), "ts", lit(0L))
+      val dirsBefore = graft.snapshot.SnapshotStore.resolveDirs(root, 0L, 3L).size
+      graft.snapshot.SnapshotStore.compact(s, root, upTo = 3L, consumerTiersRoots = Seq(tiers))
+      val dirsAfter = graft.snapshot.SnapshotStore.resolveDirs(root, 0L, 3L).size
+      graft.snapshot.ContinuousRollup
+        .readTier(s, tiers, "1d")
+        .select(col("event_type"), col("bucket_ts"), col("point_count"))
+        // resolveDirs lists day-level dirs: three appends each carry
+        // the full day set, the compacted base carries it once
+        .withColumn("files_reduced", lit(dirsAfter < dirsBefore))
+    }),
+
+    // ---- Structured Streaming block builder: the bounded memory
+    //      stream flows through flatMapGroupsWithState; sealed blocks
+    //      decode back to per-(series, hour) point counts + exact value
+    //      sums that must equal the plain SQL hourly aggregate.
+    //      Sentinel batches only advance the watermark (their own
+    //      open blocks are filtered, never emitted) ----
+    "q58_streaming_blocks" -> ((s, dir) => {
+      import s.implicits._
+      val pts = t(s, dir, "events")
+        .select(col("event_type").as("series"), col("ts"), col("value").cast("long").as("value"))
+        .as[graft.streaming.StreamPoint]
+        .collect()
+        .toSeq
+      val maxTs = pts.map(_.ts.getTime).max
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.StreamPoint]
+      val sink = s"q58_sink_${System.nanoTime()}"
+      val q = graft.streaming.StreamingRollup
+        .streamingBlocks(ms.toDS(), watermark = "10 minutes")
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+      ms.addData(pts)
+      q.processAllAvailable()
+      // two watermark-advancing sentinel batches: the first moves the
+      // watermark past every real hour, the second fires the timeouts
+      // computed from it
+      (1 to 2).foreach { i =>
+        ms.addData(
+          graft.streaming.StreamPoint("__sentinel__", new java.sql.Timestamp(maxTs + i * 7200000L), 0L)
+        )
+        q.processAllAvailable()
+      }
+      val blocks = s.table(sink).filter(col("series") =!= "__sentinel__")
+      q.stop()
+      blocks
+        .withColumn("__ts", BlockOps.decodeTs(col("ts_block")))
+        .withColumn("__vs", BlockOps.decodeVals(col("val_block")))
+        .withColumn("__pt", explode(arrays_zip(col("__ts"), col("__vs"))))
+        .groupBy(col("series").as("event_type"), col("hour_start").as("bucket_ts"))
+        .agg(count(lit(1)).as("n_points"), sum(col("__pt.__vs").cast("long")).as("value_sum"))
     })
   )
 
@@ -1425,6 +1514,25 @@ object SparkEntry {
                                   ascii(substr(px, ((2*(i//12)+1)*8 + 2*((i%12)//3))  *3 + (i%3) + 1, 1)) +
                                   ascii(substr(px, ((2*(i//12)+1)*8 + 2*((i%12)//3)+1)*3 + (i%3) + 1, 1))) // 4)), '') AS payload
                     FROM img)
-         SELECT media_id, 4 AS width, 4 AS height, md5(payload) AS payload_md5 FROM pooled"""
+         SELECT media_id, 4 AS width, 4 AS height, md5(payload) AS payload_md5 FROM pooled""",
+    // The engine side went through the CSV sink + source; the oracle is
+    // the same relation straight from parquet. Hash equality proves ""
+    // round-trips as the empty string.
+    "q56_csv_roundtrip" ->
+      """SELECT c_custkey AS row_id, c_name AS name,
+                CASE WHEN c_custkey % 7 = 0 THEN '' ELSE c_mktsegment END AS segment
+         FROM customer""",
+    // One-shot daily rollup over ALL events == the tier table surviving
+    // the compaction rebase; files_reduced is asserted engine-side.
+    "q57_compaction" ->
+      """SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+                count(*) AS point_count, TRUE AS files_reduced
+         FROM events GROUP BY 1, 2""",
+    // Hourly aggregate of the same points the stream consumed; the
+    // engine decoded its sealed Gorilla/delta blocks back to points.
+    "q58_streaming_blocks" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                count(*) AS n_points, CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS value_sum
+         FROM events GROUP BY 1, 2"""
   )
 }

@@ -18,6 +18,10 @@ case class CleaningConfig(
     // M1's TRAINED form (auto_instance): per-column seeded
     // RandomForest over the error-free rows — see MlImputer
     useMlImputer: Boolean = false,
+    // cross-row entity-match corrector — the deterministic in-table
+    // share of the reference's llm_master member (Correctors.entityCorrector)
+    useEntity: Boolean = false,
+    entityMaxTokenDf: Int = 8,
     useValue: Boolean = true,
     nBestPdeps: Int = 3,
     useMetaLearner: Boolean = false,
@@ -154,6 +158,9 @@ object Cleaning {
       else None,
       if (cfg.useImputer) Some(Correctors.frequencyImputer(df, correctorErrors, rowId, cols)) else None,
       if (cfg.useMlImputer) Some(MlImputer.suggest(df, rowId, cols, correctorErrors)) else None,
+      if (cfg.useEntity)
+        Some(Correctors.entityCorrector(df, correctorErrors, rowId, cols, cfg.entityMaxTokenDf))
+      else None,
       if (cfg.useValue && labeledPairs.nonEmpty) Some(Correctors.valueCorrector(detected, labeledPairs))
       else None
     ).flatten ++ cacheSuggestions) match {

@@ -315,6 +315,93 @@ object Correctors {
       .join(cache, Seq("row_id", "col"))
       .select("row_id", "col", "corrector", "candidate", "score")
 
+  /** Cross-row entity-match corrector — the deterministic, within-table
+    * share of the reference's llm_master member (`src/helpers.py:357-373`):
+    * where llm_master serializes the error row and lets a GPT recall the
+    * masked value (world knowledge, unreproducible offline), this
+    * corrector mines what the table itself knows about the error row's
+    * identity tokens. Every trusted cell tokenizes into lowercase
+    * alphanumeric runs; for each (token, column) the corrector keeps the
+    * conditional distribution of trusted values among rows carrying the
+    * token. An error cell then scores each candidate by the sum over
+    * the row's tokens of P(candidate | token), normalized per cell.
+    * This one formulation covers both powers of llm_master:
+    *   - duplicate records: a near-unique token (df=2..k) shared with
+    *     the entity's other record yields P = 1 for that record's value;
+    *   - identity prefixes: a hot token like a phone area code yields
+    *     the city majority among its rows (the "310 -> los angeles"
+    *     inference GPT does from world knowledge).
+    *
+    * Scale shape: everything reduces by key BEFORE any join — token df
+    * is one hash aggregation, the conditional model is a (token, col,
+    * value) count. No row-pair relation ever forms, so there is no
+    * quadratic path for ANY token frequency (unlike rare-token pair
+    * blocking). Guards on the model size: tokens above `maxDfFrac` of
+    * rows are stopwords and dropped; a (token, col, value) entry
+    * survives only with count >= 2 (a repeated, informative pairing) or
+    * token df <= maxRareDf (the duplicate-record path) — this bounds
+    * the per-(token, col) group for near-unique columns under hot
+    * tokens; finally only the `topK` values per (token, col) join back
+    * to error cells, bounding the fan-out per error token.
+    */
+  def entityCorrector(
+      df: DataFrame,
+      errors: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      maxRareDf: Int = 8,
+      minTokenLen: Int = 2,
+      topK: Int = 5,
+      maxDfFrac: Double = 0.5
+  ): DataFrame = {
+    val nRows = df.count()
+    val cells = Cells.melt(df, rowId, cols)
+    // error cells are untrusted: they contribute neither identity
+    // tokens nor conditional evidence
+    val trusted = cells
+      .join(errors.select("row_id", "col"), Seq("row_id", "col"), "left_anti")
+      .filter(col("value").isNotNull && col("value") =!= "")
+    val rowTokens = trusted
+      .select(col("row_id"), explode(split(lower(col("value")), "[^a-z0-9]+")).as("token"))
+      .filter(length(col("token")) >= minTokenLen)
+      .distinct()
+    val dfCounts = rowTokens
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= lit((nRows * maxDfFrac).toLong))
+    val keptTokens = rowTokens.join(dfCounts, "token")
+    // conditional model: P(value | token) per column, over trusted cells
+    val pairs = keptTokens
+      .join(trusted.withColumnRenamed("value", "candidate"), "row_id")
+      .groupBy("token", "df", "col", "candidate")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2 || col("df") <= maxRareDf)
+    val wTokCol = Window.partitionBy("token", "col")
+    val wTokColRank = wTokCol.orderBy(col("cnt").desc, col("candidate").asc)
+    val model = pairs
+      .withColumn("tot", sum("cnt").over(wTokCol))
+      .withColumn("rk", row_number().over(wTokColRank))
+      .filter(col("rk") <= topK)
+      .select(col("token"), col("col"), col("candidate"), (col("cnt") / col("tot")).as("pr"))
+    val errTokens = errors
+      .select(col("row_id"), col("col"))
+      .join(rowTokens, "row_id")
+    val summed = errTokens
+      .join(model, Seq("token", "col"))
+      .groupBy("row_id", "col", "candidate")
+      .agg(sum("pr").as("s"))
+    val wCell = Window.partitionBy("row_id", "col")
+    summed
+      .withColumn("score", col("s") / sum("s").over(wCell))
+      .select(
+        col("row_id"),
+        col("col"),
+        lit("entity").as("corrector"),
+        col("candidate"),
+        col("score")
+      )
+  }
+
   def emptySuggestions(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.emptyDataset[Suggestion].toDF()

@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   * files decide WHAT to recompute — manifests are directory-level, so
   * the diff never scans data.
   *
-  * Per-partition lineage rows + per-run metrics append to
-  * `tiersRoot/_lineage` / `tiersRoot/_metrics`.
+  * Per-partition lineage rows + per-run metrics append to the
+  * `tiersRoot/_runlog` table (read back via `readLineage` /
+  * `readMetrics`).
   */
 object ContinuousRollup {
 
@@ -113,6 +114,19 @@ object ContinuousRollup {
     * raw plus a handful of tiny tier partitions — not 30 days of raw.
     * Without day manifests it falls back to the full-range scan.
     *
+    * NOTE (prepare contract, schema): on the pruned branch the scan
+    * carries one extra synthetic column, `__graft_stored_day` (the
+    * partition day the row's file was stored under), injected for the
+    * exact guard below. A schema-agnostic prepare (column-wise maps,
+    * filters, withColumn) passes it through unchanged and gets the
+    * exact guard for free; a prepare that projects to a fixed schema
+    * drops it and gets the weaker membership guard. A prepare that
+    * iterates `df.columns` (melts, position-based unions) MUST either
+    * ignore columns prefixed `__graft_` or project them away first —
+    * the batch-side scan (`readRange`) and the unpruned branch do not
+    * carry the column, so schema-sensitive logic would otherwise see
+    * different shapes across the prepare invocations of one update.
+    *
     * The `prepare` contract is enforced at runtime on the pruned
     * branch: any row stored under a real (non-suspect) `part_day`
     * whose post-prepare day differs from its stored day would silently
@@ -155,15 +169,12 @@ object ContinuousRollup {
       return to
     }
 
-    // consumed once for the touched-day set and once per tier for the
-    // touched part_key sets — cache, or the batch re-reads and
-    // re-prepares five times
-    val newRows = prepare(SnapshotStore.readRange(spark, sourceRoot, from, to)).cache()
-
-    // one tiny job over the prepared batch: the days its points land
-    // on (post-repair) and the 30d windows they touch. Days decide
-    // both the pruned raw read and the 1m/1h/1d recomputes; windows
-    // decide which 30d partitions re-roll up from the 1d tier.
+    // one tiny job over the prepared batch (its only consumer — no
+    // cache): the days its points land on (post-repair) and the 30d
+    // windows they touch. Days decide both the pruned raw read and the
+    // 1m/1h/1d recomputes; windows decide which 30d partitions re-roll
+    // up from the 1d tier.
+    val newRows = prepare(SnapshotStore.readRange(spark, sourceRoot, from, to))
     val touchedKeys = newRows
       .select(
         to_date(col(tsCol)).as("d"),
@@ -176,7 +187,6 @@ object ContinuousRollup {
     if (days.isEmpty && windows.isEmpty) {
       // every prepared row has a null timestamp: nothing lands in any
       // tier partition — same clean no-op as an empty append
-      newRows.unpersist()
       writeApplied(tiersRoot, to)
       return to
     }
@@ -242,13 +252,17 @@ object ContinuousRollup {
     val exactGuard = canPrune && realStoredDays.nonEmpty && prepared.columns.contains(StoredDayCol)
     val memberGuard = canPrune && realStoredDays.nonEmpty && !exactGuard
     val dayStr = to_date(col(tsCol)).cast("string")
+    // rows landing on this update's touched days — observed on the same
+    // cache-materialization pass as the guard; an upper bound on the 1m
+    // tier output that drives its write-layout branch with no extra job
+    val touchedRowsAgg = count(when(dayStr.isin(neededDays.toSeq: _*), lit(1))).as("touched_rows")
     val allRows =
       if (exactGuard) {
         // exact tier: per-row comparison of post-prepare day vs the
         // day the row's file was stored under
         val violation = col(StoredDayCol).isin(realStoredDays: _*) &&
           (dayStr =!= col(StoredDayCol) || col(tsCol).isNull)
-        prepared.observe(guardObs, count(when(violation, lit(1))).as("violations"))
+        prepared.observe(guardObs, count(when(violation, lit(1))).as("violations"), touchedRowsAgg)
       } else if (memberGuard) {
         // membership tier: `prepare` dropped the stored-day column, so
         // fall back to set membership. Days that suspect/null-partition
@@ -268,23 +282,22 @@ object ContinuousRollup {
               .toSet
         val allowed = (neededDays ++ landedDays).toSeq
         val violation = col(tsCol).isNotNull && !dayStr.isin(allowed: _*)
-        prepared.observe(guardObs, count(when(violation, lit(1))).as("violations"))
-      } else prepared
+        prepared.observe(guardObs, count(when(violation, lit(1))).as("violations"), touchedRowsAgg)
+      } else prepared.observe(guardObs, lit(0L).as("violations"), touchedRowsAgg)
 
     val lineageRows = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long)]()
     val t0 = System.nanoTime()
 
-    // one scan + one prepare feeds the 1m/1h/1d tier recomputes
+    // ONE action over the pruned scan: materializes the shared cache
+    // that feeds every tier recompute AND fires the contract guard and
+    // the touched-row count as observed metrics of the same pass
     allRows.cache()
+    allRows.count()
     val contractViolations: Long =
-      if (!(exactGuard || memberGuard)) 0L
-      else {
-        allRows.count() // materializes the cache AND fires the observation
-        guardObs.get("violations").asInstanceOf[Long]
-      }
+      if (exactGuard || memberGuard) guardObs.get("violations").asInstanceOf[Long] else 0L
+    val touchedRows: Long = guardObs.get("touched_rows").asInstanceOf[Long]
     if (contractViolations > 0) {
       allRows.unpersist()
-      newRows.unpersist()
       throw new IllegalStateException(
         s"ContinuousRollup prepare-contract violation: $contractViolations rows stored under a real " +
           "part_day changed their partition-deciding day in prepare; their new day's partitions would " +
@@ -293,11 +306,6 @@ object ContinuousRollup {
       )
     }
     val tierRows = if (exactGuard) allRows.drop(StoredDayCol) else allRows
-    // the guard count above already materialized the shared cache when
-    // a guard was active; otherwise warm it here so the concurrent
-    // fine-tier jobs read cached blocks instead of racing to compute
-    // the scan
-    if (!(exactGuard || memberGuard)) allRows.count()
 
     // cascade state: the still-cached recomputed output of the
     // previous (finer) tier. 1h and 1d re-rollup from it IN MEMORY —
@@ -308,6 +316,12 @@ object ContinuousRollup {
     // without a file read-back. Only 30d goes to the 1d tier FILES:
     // its window span includes days written by earlier updates.
     var finerOut: Option[DataFrame] = None
+    // conservative output-size bound for each tier's write-layout
+    // branch: aggregation only shrinks, so the 1m output is bounded by
+    // the touched-day row count observed above, and each coarser tier
+    // by the finer tier's observed output rows (30d scales 1d's by its
+    // window-span ratio — a layout heuristic only, never correctness)
+    var finerRowsOut: Long = touchedRows
 
     def runTier(tier: String): (String, String, Long, Long, Long) = {
       val recomputed0 = tier match {
@@ -339,8 +353,7 @@ object ContinuousRollup {
       }
       // cache the ROLLUP OUTPUT (tiny) before clustering: the range
       // partitioner's sampling pass and the write would otherwise each
-      // re-execute the whole tier aggregation, and the lineage
-      // aggregate a third time
+      // re-execute the whole tier aggregation
       val out = recomputed0.withColumn("part_key", partKeyOfBucket(tier)).cache()
       // cluster rows by their output partition before the partitioned
       // write: otherwise every shuffle task holds rows of every
@@ -356,31 +369,46 @@ object ContinuousRollup {
       // unnumbered range shuffle to ONE task, serializing the hot-day
       // write the range layout exists to parallelize
       val nWrite = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      // lineage stats FIRST (this materializes the cache), so the
-      // write layout can branch on the actual output size: below the
-      // threshold the clustering shuffle costs more than it saves —
-      // one writer task emits one file per part_key dir with no
-      // exchange and a single task-commit round. Above it, the skew
-      // layouts earn their shuffle.
-      val stats = out.agg(count(lit(1)), countDistinct(col("part_key"))).head()
-      val recomputed =
-        if (stats.getLong(0) <= SmallTierRows) out.coalesce(1)
+      // write layout branches on the CONSERVATIVE row bound (finer
+      // tier's observed output; touched raw rows for 1m) instead of a
+      // dedicated count job: below the threshold the clustering shuffle
+      // costs more than it saves — one writer task emits one file per
+      // part_key dir with no exchange and a single task-commit round.
+      // Misclassifying small-as-large costs one tiny shuffle, never
+      // correctness. Exact rows_out rides the write as an observed
+      // metric; partitions written are driver-known by construction
+      // (every touched day/window carries at least one batch row).
+      val bound = tier match {
+        case "30d" => finerRowsOut / math.max(days.size, 1) * windowSpanDays.size + 1
+        case _     => finerRowsOut
+      }
+      val clustered =
+        if (bound <= SmallTierRows) out.coalesce(1)
         else
           tier match {
             case "1m" | "1h" => out.repartitionByRange(nWrite, (col("part_key") +: series.map(col)): _*)
             case _           => out.repartition(col("part_key"))
           }
+      // observe sits ABOVE the clustering exchange: the range
+      // partitioner's sampling pass re-executes the exchange CHILD, so
+      // a metric below it would double-count
+      val rowsObs = Observation(s"graft_tier_rows_${tier}_${tiersRoot.hashCode.toHexString}_$to")
       val path = tierPath(tiersRoot, tier)
       val exists = Files.exists(Paths.get(path))
-      recomputed.write
+      clustered
+        .observe(rowsObs, count(lit(1)).as("rows_out"))
+        .write
         .mode(if (exists) "overwrite" else "errorifexists")
         .partitionBy("part_key")
         .parquet(path)
+      val rowsOut = rowsObs.get("rows_out").asInstanceOf[Long]
+      val partsOut = if (tier == "30d") windows.size.toLong else days.size.toLong
       // hand the cached output to the next (coarser) tier's re-rollup
       // and release the previous one
       finerOut.foreach(_.unpersist())
       finerOut = Some(out)
-      (tier, s"($from,$to]", stats.getLong(0), stats.getLong(1), to)
+      finerRowsOut = rowsOut
+      (tier, s"($from,$to]", rowsOut, partsOut, to)
     }
 
     // Tiers run sequentially — each re-rolls up the cached output of
@@ -390,16 +418,48 @@ object ContinuousRollup {
     Tiers.All.foreach(t => lineageRows += runTier(t))
     finerOut.foreach(_.unpersist())
 
+    // one run-log append carries BOTH the per-tier lineage rows and the
+    // run metrics row (kind column discriminates) — a single tiny write
+    // job instead of two; `readLineage`/`readMetrics` project the
+    // classic shapes back out
     import spark.implicits._
-    lineageRows.toSeq
-      .toDF("tier", "snapshot_range", "rows_out", "partitions_touched", "applied_snapshot")
-      .write
-      .mode("append")
-      .parquet(s"$tiersRoot/_lineage")
-    Seq(
-      (to, (System.nanoTime() - t0) / 1e9, java.time.Instant.now.toString, dirsRead, dirsTotal, contractViolations)
+    val lineagePart = lineageRows.toSeq.map { case (tier, range, rows, parts, snap) =>
+      (
+        "lineage",
+        tier,
+        range,
+        rows,
+        parts,
+        snap,
+        0.0,
+        "",
+        0,
+        0,
+        0L
+      )
+    }
+    val metricsPart = Seq(
+      (
+        "metrics",
+        "",
+        "",
+        0L,
+        0L,
+        to,
+        (System.nanoTime() - t0) / 1e9,
+        java.time.Instant.now.toString,
+        dirsRead,
+        dirsTotal,
+        contractViolations
+      )
     )
+    (lineagePart ++ metricsPart)
       .toDF(
+        "kind",
+        "tier",
+        "snapshot_range",
+        "rows_out",
+        "partitions_touched",
         "applied_snapshot",
         "update_seconds",
         "wall_clock",
@@ -407,13 +467,39 @@ object ContinuousRollup {
         "source_dirs_total",
         "contract_violations"
       )
+      .coalesce(1)
       .write
       .mode("append")
-      .parquet(s"$tiersRoot/_metrics")
+      .parquet(s"$tiersRoot/_runlog")
 
     allRows.unpersist()
-    newRows.unpersist()
     writeApplied(tiersRoot, to)
     to
   }
+
+  /** Per-partition lineage rows of every applied update (tier,
+    * snapshot_range, rows_out, partitions_touched, applied_snapshot).
+    */
+  def readLineage(spark: SparkSession, tiersRoot: String): DataFrame =
+    spark.read
+      .parquet(s"$tiersRoot/_runlog")
+      .filter(col("kind") === "lineage")
+      .select("tier", "snapshot_range", "rows_out", "partitions_touched", "applied_snapshot")
+
+  /** One metrics row per applied update (applied_snapshot,
+    * update_seconds, wall_clock, source_dirs_read, source_dirs_total,
+    * contract_violations).
+    */
+  def readMetrics(spark: SparkSession, tiersRoot: String): DataFrame =
+    spark.read
+      .parquet(s"$tiersRoot/_runlog")
+      .filter(col("kind") === "metrics")
+      .select(
+        "applied_snapshot",
+        "update_seconds",
+        "wall_clock",
+        "source_dirs_read",
+        "source_dirs_total",
+        "contract_violations"
+      )
 }

@@ -56,7 +56,10 @@ object EnsembleHarness {
         usePdepVicinity = true,
         useVicinity2 = false,
         useMetaLearner = metaLearner,
-        useMlImputer = true
+        useMlImputer = true,
+        // deterministic llm_master analog: candidates carried from
+        // other rows of the same entity via rare-token blocking
+        useEntity = true
       )
     val corrections = Cleaning.run(dirty, "row_id", cols, detected, labels, cfg, cache = cache)
     val m = Correctors.evaluate(corrections, actual)

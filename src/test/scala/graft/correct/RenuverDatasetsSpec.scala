@@ -55,9 +55,14 @@ class RenuverDatasetsSpec extends SparkSpec {
     assert(renuver("glass", 3, meta = true).f1 >= 0.685) // reference figure
   }
 
-  test("restaurant: pinned below the reference (world-knowledge errors)") {
-    assert(renuver("restaurant", 1, meta = false).f1 >= 0.42)
-    assert(renuver("restaurant", 3, meta = false).f1 >= 0.36)
+  test("restaurant: entity corrector + meta-learner close most of the llm_master gap") {
+    // ef=1: the cross-row entity/token corrector (area-code -> city
+    // conditionals, duplicate-record carry) + per-column meta-learner
+    // reaches 0.558 (reference 0.629, its remainder is GPT world
+    // knowledge); ef=3 keeps the A13 decision (meta measured 0.400
+    // there) — the same per-dataset model selection the reference runs
+    assert(renuver("restaurant", 1, meta = true).f1 >= 0.55)
+    assert(renuver("restaurant", 3, meta = false).f1 >= 0.39)
   }
 
   test("rayyan beats the reference") {

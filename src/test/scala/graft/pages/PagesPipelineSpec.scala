@@ -130,8 +130,8 @@ class PagesPipelineSpec extends SparkSpec {
 
     // the second update pruned: days 01-01..01-16 (previous 30d
     // window, untouched by a February crawl) were never opened
-    val m = spark.read
-      .parquet(s"$tiers/_metrics")
+    val m = graft.snapshot.ContinuousRollup
+      .readMetrics(spark, tiers)
       .filter(col("applied_snapshot") === 2)
       .head()
     assert(

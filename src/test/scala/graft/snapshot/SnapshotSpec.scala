@@ -56,9 +56,9 @@ class SnapshotSpec extends SparkSpec {
     }
 
     // lineage + metrics recorded
-    val lineage = spark.read.parquet(s"$tiers/_lineage")
+    val lineage = ContinuousRollup.readLineage(spark, tiers)
     assert(lineage.count() == 8) // 4 tiers x 2 updates
-    assert(spark.read.parquet(s"$tiers/_metrics").count() == 2)
+    assert(ContinuousRollup.readMetrics(spark, tiers).count() == 2)
   }
 
   test("incremental update with a lang histogram == one-shot, all 4 tiers (hist through the cascade)") {
@@ -114,8 +114,8 @@ class SnapshotSpec extends SparkSpec {
     // tier, never from raw days outside the batch. Snapshot 1 has no
     // part_day=2024-01-28 dir (b1 excluded it), so exactly ONE raw
     // dir is opened out of 30.
-    val m = spark.read
-      .parquet(s"$tiers/_metrics")
+    val m = ContinuousRollup
+      .readMetrics(spark, tiers)
       .filter(col("applied_snapshot") === 2)
       .select("source_dirs_read", "source_dirs_total")
       .head()
@@ -154,8 +154,8 @@ class SnapshotSpec extends SparkSpec {
 
     // the late update recomputed exactly the 17 old day-partitions (1d
     // tier) and exactly 1 old 30d window; none of batch 1's days
-    val lineage = spark.read
-      .parquet(s"$tiers/_lineage")
+    val lineage = ContinuousRollup
+      .readLineage(spark, tiers)
       .filter(col("applied_snapshot") === 2)
       .select("tier", "partitions_touched")
       .collect()
@@ -164,8 +164,8 @@ class SnapshotSpec extends SparkSpec {
     assert(lineage("1d") == 17L, s"late 1d partitions: ${lineage("1d")}")
     assert(lineage("30d") == 1L, s"late 30d partitions: ${lineage("30d")}")
     // file pruning: the late update never opened batch 1's files
-    val m = spark.read
-      .parquet(s"$tiers/_metrics")
+    val m = ContinuousRollup
+      .readMetrics(spark, tiers)
       .filter(col("applied_snapshot") === 2)
       .head()
     assert(m.getAs[Int]("source_dirs_read") == 17 && m.getAs[Int]("source_dirs_total") == 30)
