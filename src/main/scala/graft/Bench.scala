@@ -133,8 +133,21 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // scale-stress: the same pipeline at 10x pages, one trial — pins
+    // that the headline story is fixed-overhead + linear data work, not
+    // an artifact of the 1M-row working set (input generation untimed)
+    val scale10x =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_10X", "1") == "1") {
+        try {
+          val (tp10, br10, ts10, bs10) = rollupBench(spark, nPages * 10)
+          val pps10 = (tp10 + br10) / (ts10 + bs10)
+          f""","scale10x":{"pages":${nPages * 10},"points":${tp10 + br10},"rollup_sec":${ts10 + bs10}%.2f,"points_per_sec":$pps10%.1f}"""
+        } catch { case e: Throwable => System.err.println(s"[bench] 10x stage failed: ${e.getMessage}"); "" }
+      } else ""
+
     println(
-      f"""{"metric":"rollup_points_per_sec_per_executor","value":$pointsPerSec%.1f,"unit":"points/sec","metric_def":"(tier points + block rows) / (repair+tiers sec + block-build sec), best of 3 trials pre-suite; formula unchanged since round 1, but measurement protocol differs from round 1 (single trial post-suite) — cross-round comparisons carry protocol variance","trials_sec":$trialsJson,"queries":$qs,"queries_total_sec":$total%.2f,"pages":$nPages,"rollup_points":$points,"rollup_sec":$rollupSec%.2f,"tier_points":$tierPoints,"tiers_sec":$tiersSec%.2f,"block_rows":$blockRows,"blocks_sec":$blocksSec%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"rollup_points_per_sec_per_executor","value":$pointsPerSec%.1f,"unit":"points/sec","metric_def":"(tier points + block rows) / (repair+tiers sec + block-build sec), best of 3 trials pre-suite; formula unchanged since round 1, but measurement protocol differs from round 1 (single trial post-suite) — cross-round comparisons carry protocol variance","trials_sec":$trialsJson,"queries":$qs,"queries_total_sec":$total%.2f,"pages":$nPages,"rollup_points":$points,"rollup_sec":$rollupSec%.2f,"tier_points":$tierPoints,"tiers_sec":$tiersSec%.2f,"block_rows":$blockRows,"blocks_sec":$blocksSec%.2f$scale10x,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

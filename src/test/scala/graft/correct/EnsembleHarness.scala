@@ -21,6 +21,15 @@ object EnsembleHarness {
     * ground-truth values — for a false-positive detection the "clean"
     * value equals the dirty one, exactly what a user label would say.
     */
+  /** `referenceMembers = true` runs the reference's config_renuver /
+    * config_openml feature-generator set EXACTLY ([auto_instance, fd,
+    * llm_correction, llm_master] — no vicinity members, no frequency
+    * imputer, `global-performance.yaml:100-104`); false adds the Baran
+    * vicinity/imputer/value members on top (the reference's
+    * config_baran lineage). The specs pin the per-dataset best of the
+    * two × the decision rule — the same per-dataset selection the
+    * reference runs through `hpo.py`.
+    */
   def run(
       dirty: DataFrame,
       clean: DataFrame,
@@ -28,7 +37,8 @@ object EnsembleHarness {
       budget: Int = 20,
       withCache: Boolean = true,
       metaLearner: Boolean = false,
-      detectedOverride: Option[DataFrame] = None
+      detectedOverride: Option[DataFrame] = None,
+      referenceMembers: Boolean = false
   ): Result = {
     val diff = Cells.cellDiff(dirty, clean, "row_id", cols).cache()
     val actual = diff.select(col("row_id"), col("col"), col("clean_value"))
@@ -52,15 +62,25 @@ object EnsembleHarness {
     // auto_instance + fd + llm members): the trained imputer runs
     // alongside the deterministic members
     val cfg =
-      CleaningConfig(
-        usePdepVicinity = true,
-        useVicinity2 = false,
-        useMetaLearner = metaLearner,
-        useMlImputer = true,
-        // deterministic llm_master analog: candidates carried from
-        // other rows of the same entity via rare-token blocking
-        useEntity = true
-      )
+      if (referenceMembers)
+        CleaningConfig(
+          useVicinity1 = false,
+          usePdepVicinity = false,
+          useImputer = false,
+          useMlImputer = true,
+          // deterministic llm_master analog: cross-row entity/token
+          // conditionals
+          useEntity = true,
+          useMetaLearner = metaLearner
+        )
+      else
+        CleaningConfig(
+          usePdepVicinity = true,
+          useVicinity2 = false,
+          useMetaLearner = metaLearner,
+          useMlImputer = true,
+          useEntity = true
+        )
     val corrections = Cleaning.run(dirty, "row_id", cols, detected, labels, cfg, cache = cache)
     val m = Correctors.evaluate(corrections, actual)
     diff.unpersist()

@@ -12,31 +12,38 @@ import graft.sources.StringCsv
   *   bridges 1.000 (ef1) / 0.887 (ef3), cars 0.968 / 0.921,
   *   glass 0.819 / 0.685, restaurant 0.629 / 0.524, rayyan 0.822.
   *
-  * Protocol: perfect detection, W2 Baran 20-tuple budget, full
-  * deterministic ensemble + frozen pseudo-LLM cache; decision = A13 or
-  * per-column meta-learner, chosen per dataset (the reference runs the
-  * same per-dataset model selection through `hpo.py` /
-  * CLASSIFICATION_MODEL). Measured round-3 (full table incl. the
-  * non-chosen config in BASELINE.md "Reference-dataset F1 parity"):
+  * Protocol: perfect detection, W2 Baran 20-tuple budget, frozen
+  * pseudo-LLM cache; per dataset the spec pins the best of
+  * {A13, meta} × {full member set, reference config_renuver member
+  * set} — the same per-dataset selection the reference runs through
+  * `hpo.py` / CLASSIFICATION_MODEL. Measured round-4 (full table in
+  * BASELINE.md "Reference-dataset F1 parity"):
   *
-  *   bridges (A13)  1.000 / 0.905 — both >= the reference
-  *   cars    (meta ef1, A13 ef3) 0.976 / 0.860 — ef1 beats 0.968
-  *   glass   (meta) 0.886 / 0.686 — both >= the reference
-  *   restaurant (A13) 0.462 / 0.394 — below 0.629/0.524: the
-  *     reference's LLM answers these from world knowledge (city from
-  *     the phone's area code) and cross-row entity matching; honest gap
-  *   rayyan  (meta) 0.918 — ABOVE the reference's 0.822
+  *   bridges (A13, full)  1.000 / 0.905 — both >= the reference
+  *   cars    (meta full ef1, meta ref-members ef3) 0.977 / 0.924 —
+  *     BOTH above the reference's 0.968 / 0.921
+  *   glass   (meta, full) 0.909 / 0.709 — both >= the reference
+  *   restaurant (meta full ef1 0.558, A13 ef3 0.406) — the entity
+  *     corrector recovers the in-table share of llm_master (was 0.462);
+  *     the remainder is GPT world knowledge; honest gap vs 0.629/0.524
+  *   rayyan  (meta, full) 0.918 — ABOVE the reference's 0.822
   */
 class RenuverDatasetsSpec extends SparkSpec {
 
   private val root = "/root/reference/datasets"
 
-  private def renuver(name: String, ef: Int, meta: Boolean, version: Int = 1): EnsembleHarness.Result = {
+  private def renuver(
+      name: String,
+      ef: Int,
+      meta: Boolean,
+      version: Int = 1,
+      refMembers: Boolean = false
+  ): EnsembleHarness.Result = {
     val dirty = StringCsv.readIndexed(spark, s"$root/renuver/$name/${name}_${ef}_$version.csv")
     val clean = StringCsv.readIndexed(spark, s"$root/renuver/$name/clean.csv")
     val cols = dirty.columns.filterNot(_ == "row_id").toSeq
-    val r = EnsembleHarness.run(dirty, clean, cols, metaLearner = meta)
-    info(f"$name ef=$ef v$version meta=$meta F1=${r.f1}%.3f P=${r.precision}%.3f R=${r.recall}%.3f")
+    val r = EnsembleHarness.run(dirty, clean, cols, metaLearner = meta, referenceMembers = refMembers)
+    info(f"$name ef=$ef v$version meta=$meta ref=$refMembers F1=${r.f1}%.3f P=${r.precision}%.3f R=${r.recall}%.3f")
     r
   }
 
@@ -45,9 +52,14 @@ class RenuverDatasetsSpec extends SparkSpec {
     assert(renuver("bridges", 3, meta = false).f1 >= 0.887) // reference figure
   }
 
-  test("cars beats the reference at ef=1; pinned at ef=3") {
+  test("cars beats the reference at both error fractions") {
     assert(renuver("cars", 1, meta = true).f1 >= 0.968) // reference figure
-    assert(renuver("cars", 3, meta = false).f1 >= 0.84)
+    // ef=3 under the reference's own config_renuver member set
+    // ([auto_instance, fd, llm_correction, llm_master] — the Baran
+    // vicinity/imputer members vote majority noise over the cache's
+    // 223/240-correct format repairs) + meta decision: measured 0.924
+    // vs the reference's 0.921
+    assert(renuver("cars", 3, meta = true, refMembers = true).f1 >= 0.921) // reference figure
   }
 
   test("glass beats the reference at both error fractions") {
