@@ -72,13 +72,21 @@ object Dedup {
     val sh =
       if (maxShingleDf == Long.MaxValue) sh0
       else {
+        // the hot set is tiny by construction (shingles above the cap);
+        // cache + count it once so the loud-drop check neither
+        // recomputes the shingle aggregation inside the pair join (the
+        // anti-join would re-run it during the main action) nor touches
+        // the main plan at all when nothing binds — the common case
+        // stays byte-identical to the uncapped plan
         val hot = sh0
           .groupBy("shingle")
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf)
           .select("shingle")
+          .cache()
         val nHot = hot.count()
-        if (nHot > 0)
+        if (nHot == 0) { hot.unpersist(); sh0 }
+        else {
           org.slf4j.LoggerFactory
             .getLogger(getClass)
             .warn(
@@ -86,7 +94,11 @@ object Dedup {
                 "before the pair join (hot-shingle scale guard); pairs connected only by dropped " +
                 "shingles will not be emitted"
             )
-        sh0.join(hot, Seq("shingle"), "left_anti")
+          // no broadcast hint: the hot-set size is corpus-dependent
+          // (boilerplate-heavy corpora can exceed the driver budget) —
+          // AQE picks broadcast when the cached size allows
+          sh0.join(hot, Seq("shingle"), "left_anti")
+        }
       }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val a = sh.withColumnRenamed("id", "id_a")

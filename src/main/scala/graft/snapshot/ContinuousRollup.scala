@@ -298,11 +298,17 @@ object ContinuousRollup {
     val touchedRows: Long = guardObs.get("touched_rows").asInstanceOf[Long]
     if (contractViolations > 0) {
       allRows.unpersist()
+      val guardScope =
+        if (exactGuard) "exact guard: per-row stored-day comparison"
+        else
+          "membership guard: detects only escapes from the needed-day set — a schema-projecting " +
+            "prepare that moves rows BETWEEN needed days is beyond this tier's sight (pass " +
+            "__graft_stored_day through for the exact guard)"
       throw new IllegalStateException(
-        s"ContinuousRollup prepare-contract violation: $contractViolations rows stored under a real " +
-          "part_day changed their partition-deciding day in prepare; their new day's partitions would " +
-          "silently recompute without them. Repair partition-deciding timestamps only for rows stored " +
-          "under suspect days (see `suspectDay`), or maintain those repairs externally."
+        s"ContinuousRollup prepare-contract violation ($guardScope): $contractViolations rows stored " +
+          "under a real part_day changed their partition-deciding day in prepare; their new day's " +
+          "partitions would silently recompute without them. Repair partition-deciding timestamps only " +
+          "for rows stored under suspect days (see `suspectDay`), or maintain those repairs externally."
       )
     }
     val tierRows = if (exactGuard) allRows.drop(StoredDayCol) else allRows
