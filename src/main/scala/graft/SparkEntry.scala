@@ -840,6 +840,20 @@ object SparkEntry {
         .withColumn("__pt", explode(arrays_zip(col("__ts"), col("__vs"))))
         .groupBy(col("series").as("event_type"), col("hour_start").as("bucket_ts"))
         .agg(count(lit(1)).as("n_points"), sum(col("__pt.__vs").cast("long")).as("value_sum"))
+    }),
+
+    // ---- cross-row entity/token corrector (the deterministic in-table
+    //      share of llm_master): per-(token, column) conditional value
+    //      distributions over trusted cells; the oracle re-runs the
+    //      identical algorithm in SQL (decimal pr sums -> order-free) ----
+    "q59_entity_corrector" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = false)
+      val errors = base
+        .filter(pmod(col("row_id"), lit(13)) === 4)
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      Correctors
+        .entityCorrector(base, errors, "row_id", Seq("nation", "decile", "segment"))
+        .select(col("row_id"), col("candidate"), round(col("score"), 6).as("score"))
     })
   )
 
@@ -1533,6 +1547,43 @@ object SparkEntry {
     "q58_streaming_blocks" ->
       """SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
                 count(*) AS n_points, CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS value_sum
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    // The identical entity/token-corrector algorithm in SQL: trusted
+    // cells -> row tokens (len >= 2, df in [2, n/2]) -> (token, col,
+    // value) conditional counts (kept if cnt >= 2 or df <= 8, top-5 per
+    // (token, col)) -> per-cell candidate scores normalized from
+    // decimal pr sums.
+    "q59_entity_corrector" ->
+      """WITH base AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+                              CAST(c_custkey % 10 AS VARCHAR) AS decile, c_mktsegment AS segment
+                       FROM customer),
+         nr AS (SELECT count(*) AS n FROM base),
+         cells AS (SELECT row_id, 'nation' AS col, nation AS value FROM base
+                   UNION ALL SELECT row_id, 'decile', decile FROM base
+                   UNION ALL SELECT row_id, 'segment', segment FROM base),
+         errors AS (SELECT row_id, 'segment' AS col FROM base WHERE row_id % 13 = 4),
+         trusted AS (SELECT c.row_id, c.col, c.value FROM cells c
+                     LEFT JOIN errors e ON c.row_id = e.row_id AND c.col = e.col
+                     WHERE e.row_id IS NULL AND c.value IS NOT NULL AND c.value <> ''),
+         rowtok AS (SELECT DISTINCT row_id, t.token
+                    FROM trusted, unnest(string_split_regex(lower(value), '[^a-z0-9]+')) AS t(token)
+                    WHERE length(t.token) >= 2),
+         dfc AS (SELECT token, count(*) AS df FROM rowtok GROUP BY 1
+                 HAVING count(*) >= 2 AND count(*) <= (SELECT n // 2 FROM nr)),
+         kept AS (SELECT r.row_id, r.token, d.df FROM rowtok r JOIN dfc d USING (token)),
+         pairs AS (SELECT k.token, k.df, t.col, t.value AS candidate, count(*) AS cnt
+                   FROM kept k JOIN trusted t ON t.row_id = k.row_id
+                   GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2 OR k.df <= 8),
+         model AS (SELECT token, col, candidate, cnt,
+                          CAST(round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY token, col), 9) AS DECIMAL(28,9)) AS pr,
+                          row_number() OVER (PARTITION BY token, col ORDER BY cnt DESC, candidate ASC) AS rk
+                   FROM pairs),
+         errtok AS (SELECT e.row_id, e.col, r.token FROM errors e JOIN rowtok r USING (row_id)),
+         summed AS (SELECT et.row_id, et.col, m.candidate, sum(m.pr) AS s
+                    FROM errtok et JOIN model m ON m.token = et.token AND m.col = et.col AND m.rk <= 5
+                    GROUP BY 1, 2, 3)
+         SELECT row_id, candidate,
+                round(CAST(s AS DOUBLE) / CAST(sum(s) OVER (PARTITION BY row_id, col) AS DOUBLE), 6) AS score
+         FROM summed"""
   )
 }

@@ -378,11 +378,19 @@ object Correctors {
       .filter(col("cnt") >= 2 || col("df") <= maxRareDf)
     val wTokCol = Window.partitionBy("token", "col")
     val wTokColRank = wTokCol.orderBy(col("cnt").desc, col("candidate").asc)
+    // per-token pr is rounded into a decimal before the sums so every
+    // aggregate is order-free — bit-identical across partitionings and
+    // engines (the q59 oracle recomputes the same algorithm in DuckDB)
     val model = pairs
       .withColumn("tot", sum("cnt").over(wTokCol))
       .withColumn("rk", row_number().over(wTokColRank))
       .filter(col("rk") <= topK)
-      .select(col("token"), col("col"), col("candidate"), (col("cnt") / col("tot")).as("pr"))
+      .select(
+        col("token"),
+        col("col"),
+        col("candidate"),
+        round(col("cnt") / col("tot"), 9).cast("decimal(28,9)").as("pr")
+      )
     val errTokens = errors
       .select(col("row_id"), col("col"))
       .join(rowTokens, "row_id")
@@ -392,7 +400,7 @@ object Correctors {
       .agg(sum("pr").as("s"))
     val wCell = Window.partitionBy("row_id", "col")
     summed
-      .withColumn("score", col("s") / sum("s").over(wCell))
+      .withColumn("score", col("s").cast("double") / sum("s").over(wCell).cast("double"))
       .select(
         col("row_id"),
         col("col"),
