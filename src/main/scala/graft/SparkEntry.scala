@@ -854,6 +854,29 @@ object SparkEntry {
       Correctors
         .entityCorrector(base, errors, "row_id", Seq("nation", "decile", "segment"))
         .select(col("row_id"), col("candidate"), round(col("score"), 6).as("score"))
+    }),
+
+    // ---- V4-V7 token-function family: MV codec round-trip, prompt
+    //      key serialization (<Error> mask), logprob -> score, value
+    //      length guard — all pure codegen'd expressions ----
+    "q60_token_functions" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = false)
+      val planted = when(pmod(col("row_id"), lit(7)) === 0, lit("")).otherwise(col("segment"))
+      val enc = graft.correct.Tokens.mvEncode(planted)
+      base.select(
+        col("row_id"),
+        enc.as("mv_encoded"),
+        graft.correct.Tokens.mvDecode(enc).as("mv_roundtrip"),
+        graft.correct.Tokens
+          .promptKey(Seq(col("nation"), col("decile"), col("segment")), errorIdx = 1)
+          .as("prompt_key"),
+        round(
+          graft.correct.Tokens
+            .logprobScore(array(lit(-0.1), (pmod(col("row_id"), lit(5))).cast("double") * lit(-0.2))),
+          6
+        ).as("lp_score"),
+        graft.correct.Tokens.withinValueLength(col("segment")).as("within_len")
+      )
     })
   )
 
@@ -1584,6 +1607,19 @@ object SparkEntry {
                     GROUP BY 1, 2, 3)
          SELECT row_id, candidate,
                 round(CAST(s AS DOUBLE) / CAST(sum(s) OVER (PARTITION BY row_id, col) AS DOUBLE), 6) AS score
-         FROM summed"""
+         FROM summed""",
+    "q60_token_functions" ->
+      """WITH base AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+                              CAST(c_custkey % 10 AS VARCHAR) AS decile, c_mktsegment AS segment
+                       FROM customer),
+         enc AS (SELECT *, CASE WHEN (CASE WHEN row_id % 7 = 0 THEN '' ELSE segment END) = ''
+                                THEN '<MV>' ELSE segment END AS mv_encoded
+                 FROM base)
+         SELECT row_id, mv_encoded,
+                CASE WHEN mv_encoded = '<MV>' THEN '' ELSE mv_encoded END AS mv_roundtrip,
+                concat_ws(',', nation, '<Error>', segment) AS prompt_key,
+                round(exp(-0.1 + -0.2 * (row_id % 5)), 6) AS lp_score,
+                length(segment) <= 50 AS within_len
+         FROM enc"""
   )
 }
