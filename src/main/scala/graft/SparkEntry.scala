@@ -877,6 +877,41 @@ object SparkEntry {
         ).as("lp_score"),
         graft.correct.Tokens.withinValueLength(col("segment")).as("within_len")
       )
+    }),
+
+    // ---- §3.2 experiment grid: a config/ranges document expands to
+    //      the cross product (reference combine_configs) and every
+    //      combination runs the lifecycle end-to-end; budget 0 keeps
+    //      both runs label-free so the oracle can replay each A13
+    //      lifecycle (± imputer member) and its P/R/F1 in SQL ----
+    "q61_experiment_grid" -> ((s, dir) => {
+      import s.implicits._
+      val root = "/tmp/graft_q61"
+      graft.snapshot.SnapshotStore.deleteRecursively(root)
+      val toCsv = (d: DataFrame) =>
+        d.select(col("row_id").cast("string").as("row_id"), col("nation"), col("decile"), col("segment"))
+      graft.sources.StringCsv.write(toCsv(corruptible(s, dir, corrupt = true)), s"$root/dirty")
+      graft.sources.StringCsv.write(toCsv(corruptible(s, dir, corrupt = false)), s"$root/clean")
+      val doc = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        s"""{"runs": 1,
+             "config_grid": {"dirty_path": "$root/dirty", "clean_path": "$root/clean",
+                             "id_col": "row_id", "labeling_budget": 0,
+                             "use_fd": false, "use_value": false, "use_vicinity1": true},
+             "ranges_grid": {"use_imputer": [false, true]}}"""
+      )
+      val rows = graft.Experiments.expand(doc).map { c =>
+        val (f1, p, r, n) = graft.Experiments.runOne(s, c)
+        (c("use_imputer").asBoolean, p, r, f1, n)
+      }
+      rows
+        .toDF("use_imputer", "p", "r", "f", "n_errors")
+        .select(
+          col("use_imputer"),
+          round(col("p"), 6).as("ec_p"),
+          round(col("r"), 6).as("ec_r"),
+          round(col("f"), 6).as("ec_f"),
+          col("n_errors")
+        )
     })
   )
 
@@ -1620,6 +1655,48 @@ object SparkEntry {
                 concat_ws(',', nation, '<Error>', segment) AS prompt_key,
                 round(exp(-0.1 + -0.2 * (row_id % 5)), 6) AS lp_score,
                 length(segment) <= 50 AS within_len
-         FROM enc"""
+         FROM enc""",
+    // Replays BOTH grid combinations (vicinity-only A13, vicinity +
+    // frequency imputer) and evaluates each against the clean table —
+    // the same lifecycle SQL as q48 minus the (budget-0) user overlay.
+    "q61_experiment_grid" ->
+      """WITH corrupted AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(c_custkey % 10 AS VARCHAR) AS decile,
+             CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment FROM customer),
+         err AS (SELECT row_id, nation, decile, segment AS error_value FROM corrupted WHERE segment = '__CORRUPT__'),
+         truth AS (SELECT c_custkey AS row_id, c_mktsegment AS clean_value FROM customer WHERE c_custkey % 17 = 3),
+         c1 AS (SELECT nation, segment AS candidate, count(*) AS cnt FROM corrupted
+                WHERE segment <> '__CORRUPT__' GROUP BY 1, 2),
+         p1 AS (SELECT nation, candidate, cnt * 1.0 / sum(cnt) OVER (PARTITION BY nation) AS pr FROM c1),
+         c2 AS (SELECT decile, segment AS candidate, count(*) AS cnt FROM corrupted
+                WHERE segment <> '__CORRUPT__' GROUP BY 1, 2),
+         p2 AS (SELECT decile, candidate, cnt * 1.0 / sum(cnt) OVER (PARTITION BY decile) AS pr FROM c2),
+         imp AS (SELECT segment AS candidate, count(*) AS cnt FROM corrupted
+                 WHERE segment <> '__CORRUPT__' GROUP BY 1),
+         impr AS (SELECT candidate, cnt * 1.0 / (SELECT sum(cnt) FROM imp) AS score FROM imp),
+         vic AS (SELECT e.row_id, p1.candidate, p1.pr AS score FROM err e JOIN p1 ON e.nation = p1.nation
+                 UNION ALL
+                 SELECT e.row_id, p2.candidate, p2.pr FROM err e JOIN p2 ON e.decile = p2.decile),
+         impsugg AS (SELECT e.row_id, i.candidate, i.score FROM err e CROSS JOIN impr i
+                     WHERE i.score >= 0.001 AND i.candidate <> e.error_value),
+         sugg AS (SELECT FALSE AS use_imputer, * FROM vic
+                  UNION ALL SELECT TRUE, * FROM vic
+                  UNION ALL SELECT TRUE, * FROM impsugg),
+         summed AS (SELECT use_imputer, row_id, candidate, sum(score) AS fs FROM sugg GROUP BY 1, 2, 3),
+         decided AS (SELECT use_imputer, row_id, candidate AS value FROM
+                      (SELECT *, row_number() OVER (PARTITION BY use_imputer, row_id ORDER BY fs DESC, candidate ASC) AS rn
+                       FROM summed) WHERE rn = 1),
+         m AS (SELECT d.use_imputer, count(*) AS output_size,
+                      sum(CASE WHEN t.clean_value = d.value THEN 1 ELSE 0 END) AS tp
+               FROM decided d LEFT JOIN truth t ON d.row_id = t.row_id GROUP BY 1),
+         pr AS (SELECT use_imputer,
+                       CASE WHEN output_size = 0 THEN 0.0 ELSE tp * 1.0 / output_size END AS p,
+                       CASE WHEN (SELECT count(*) FROM err) = 0 THEN 0.0
+                            ELSE tp * 1.0 / (SELECT count(*) FROM err) END AS r
+                FROM m)
+         SELECT use_imputer, round(p, 6) AS ec_p, round(r, 6) AS ec_r,
+                round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS ec_f,
+                (SELECT count(*) FROM err) AS n_errors
+         FROM pr"""
   )
 }

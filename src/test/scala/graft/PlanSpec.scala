@@ -102,7 +102,8 @@ class PlanSpec extends SparkSpec {
       "q53_detection_mask", "q54_label_noise",
       // construction runs a CSV write / snapshot update + compaction /
       // a full streaming query — audited by their own oracles + specs
-      "q56_csv_roundtrip", "q57_compaction", "q58_streaming_blocks"
+      "q56_csv_roundtrip", "q57_compaction", "q58_streaming_blocks",
+      "q61_experiment_grid"
     )
     // broadcast-model or tiny-side joins where a nested-loop is the
     // right plan: brute-force/centroid crosses (exactness baselines),
