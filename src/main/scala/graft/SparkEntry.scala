@@ -588,6 +588,25 @@ object SparkEntry {
       graft.correct.MetaLearner.trainPredict(features, correctors, labeled)
     }),
 
+    // ---- hpo: the CV-estimator form of the meta-learner (reference
+    //      CLASSIFICATION_MODEL=CV, GridSearchCV analog) on the q45
+    //      fixture; decisions golden-pinned per SF ----
+    "q62_meta_learner_cv" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true).drop("decile")
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      val sugg = Correctors
+        .vicinityCorrectorOrder1(base, errors, "row_id", Seq("nation", "segment"))
+        .unionByName(Correctors.frequencyImputer(base, errors, "row_id", Seq("nation", "segment")))
+      val correctors = sugg.select("corrector").distinct().collect().map(_.getString(0)).sorted.toSeq
+      val features = graft.correct.MetaLearner.pairFeatures(sugg, correctors)
+      val labeled = t(s, dir, "customer")
+        .filter(col("c_custkey") % 17 === 3 && col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("clean_value"))
+      graft.correct.MetaLearner.trainPredict(features, correctors, labeled, classifier = "CV")
+    }),
+
     // ---- M4 pdep-ranked vicinity corrector (W3 n-best deps, pr feature) ----
     "q46_vicinity_pdep" -> ((s, dir) => {
       val base = corruptible(s, dir, corrupt = true)
@@ -1480,6 +1499,7 @@ object SparkEntry {
     // parallelism-independent — see GbtGoldens): the meta-learner
     // decisions and the synth-lifecycle corrections as pinned tables.
     "q45_meta_learner" -> GbtGoldens.q45,
+    "q62_meta_learner_cv" -> GbtGoldens.q62,
     "q52_cleaning_synth" -> GbtGoldens.q52,
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its

@@ -185,13 +185,22 @@ object MetaLearner {
         .addGrid(gbt.maxIter, Array(5, 10, 20))
         .addGrid(gbt.maxDepth, Array(2, 3))
         .build()
+      // deterministic folds via a seeded row hash: the default kFold
+      // random split depends on the input PARTITIONING, which would
+      // make CV decisions vary with spark.sql.shuffle.partitions /
+      // core count — a hash of the pair identity is stable everywhere
+      val foldTrain = train.withColumn(
+        "__fold",
+        pmod(xxhash64(col("row_id"), col("candidate"), lit(seed)), lit(3)).cast("int")
+      )
       val cv = new CrossValidator()
         .setEstimator(gbt)
         .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("label").setMetricName("areaUnderPR"))
         .setEstimatorParamMaps(grid)
         .setNumFolds(3)
+        .setFoldCol("__fold")
         .setSeed(seed)
-      try cv.fit(train).bestModel.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+      try cv.fit(foldTrain).bestModel.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
       catch { case _: Exception => gbt.fit(train) }
     }
   }
