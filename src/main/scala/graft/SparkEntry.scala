@@ -590,9 +590,16 @@ object SparkEntry {
 
     // ---- hpo: the CV-estimator form of the meta-learner (reference
     //      CLASSIFICATION_MODEL=CV, GridSearchCV analog) on the q45
-    //      fixture; decisions golden-pinned per SF ----
+    //      fixture capped at 1500 rows — in the lifecycle the CV grid
+    //      trains on budget-bounded labeled pairs, so the model-
+    //      selection surface is pinned at that shape (an uncapped
+    //      standalone run would grid-search 18 fold-fits over an
+    //      unrealistically large training relation); the cap also
+    //      bounds the grid cost when the bench runs this at sf0.1+
+    //      (goldens exist for the verified SFs, 0.001 and 0.01, where
+    //      the cap is a no-op: row_id covers all customers there) ----
     "q62_meta_learner_cv" -> ((s, dir) => {
-      val base = corruptible(s, dir, corrupt = true).drop("decile")
+      val base = corruptible(s, dir, corrupt = true).drop("decile").filter(col("row_id") <= 1500)
       val errors = base
         .filter(col("segment") === "__CORRUPT__")
         .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
@@ -602,7 +609,7 @@ object SparkEntry {
       val correctors = sugg.select("corrector").distinct().collect().map(_.getString(0)).sorted.toSeq
       val features = graft.correct.MetaLearner.pairFeatures(sugg, correctors)
       val labeled = t(s, dir, "customer")
-        .filter(col("c_custkey") % 17 === 3 && col("c_custkey") % 5 === 0)
+        .filter(col("c_custkey") <= 1500 && col("c_custkey") % 17 === 3 && col("c_custkey") % 5 === 0)
         .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("clean_value"))
       graft.correct.MetaLearner.trainPredict(features, correctors, labeled, classifier = "CV")
     }),

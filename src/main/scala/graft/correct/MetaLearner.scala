@@ -188,20 +188,35 @@ object MetaLearner {
       // deterministic folds via a seeded row hash: the default kFold
       // random split depends on the input PARTITIONING, which would
       // make CV decisions vary with spark.sql.shuffle.partitions /
-      // core count — a hash of the pair identity is stable everywhere
-      val foldTrain = train.withColumn(
-        "__fold",
-        pmod(xxhash64(col("row_id"), col("candidate"), lit(seed)), lit(3)).cast("int")
-      )
+      // core count — a hash of the pair identity is stable everywhere.
+      // The grid runs ~19 fits of ~20 boosting jobs each over a
+      // budget-bounded training relation, so the fits are scheduler-
+      // latency-bound: one partition makes every boosting job a single
+      // task AND makes the tree fits partitioning-independent by
+      // construction (sorted for a stable row order first).
+      val foldTrain = train
+        .repartition(1)
+        .sortWithinPartitions("row_id", "candidate")
+        .withColumn(
+          "__fold",
+          pmod(xxhash64(col("row_id"), col("candidate"), lit(seed)), lit(3)).cast("int")
+        )
+        .cache()
       val cv = new CrossValidator()
         .setEstimator(gbt)
         .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("label").setMetricName("areaUnderPR"))
         .setEstimatorParamMaps(grid)
         .setNumFolds(3)
         .setFoldCol("__fold")
+        // fits are independent single-task jobs over the same cached
+        // partition; overlapping them hides the per-job scheduler
+        // latency that dominates the grid (results unchanged: fixed
+        // seed, fixed fold hash, argmax selection order preserved)
+        .setParallelism(18)
         .setSeed(seed)
       try cv.fit(foldTrain).bestModel.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
       catch { case _: Exception => gbt.fit(train) }
+      finally foldTrain.unpersist()
     }
   }
 
