@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch single-query row dump (golden regeneration):
-  * `runMain graft.QDump q62_meta_learner_cv` prints every row sorted.
+  * `runMain graft.QDump q62_meta_learner_cv` prints every row sorted;
+  * `runMain graft.QDump --ivf-centroids` prints the trained q63
+  * quantizer as DuckDB VALUES rows for the oracle's per-SF pin.
   */
 object QDump {
   def main(args: Array[String]): Unit = {
@@ -16,7 +18,20 @@ object QDump {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.foreach { name =>
+    args.filter(_ == "--ivf-centroids").foreach { _ =>
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read
+        .parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cents = graft.ann.Ann.trainCentroids(emb, nCentroids = 8)
+      // java.lang.Double.toString is the shortest exact round-trip
+      // repr, so the SQL literal parses back to the identical double
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val lst = c.map(java.lang.Double.toString).mkString(", ")
+        println(s"[qdump] centroid ($i, [$lst]),")
+      }
+    }
+    args.filterNot(_ == "--ivf-centroids").foreach { name =>
       val out = SparkEntry.queries(name)(spark, sfDir)
       val cols = out.columns.sorted
       out

