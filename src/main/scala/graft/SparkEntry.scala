@@ -627,6 +627,51 @@ object SparkEntry {
       Ann.ivfTopK(emb, q, k = 10, nprobe = 2, trained = Some(cents)).drop("sim")
     }),
 
+    // ---- dedup: INCREMENTAL MinHash-LSH — three batch arrivals fold
+    //      against the growing (band, bucket) index; the union must be
+    //      EXACTLY the batch run over the whole corpus, so the oracle
+    //      is q22's batch SQL verbatim (signatures are per-doc: the
+    //      candidate set and agreement estimate cannot differ) ----
+    "q64_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      var idx: Option[DataFrame] = None
+      var out: Option[DataFrame] = None
+      (0 to 2).foreach { i =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        val (pairs, newIdx) = Dedup.minHashLshIncrement(idx, batch, "doc_id", "text")
+        // the demo folds in memory; at scale newIdx is appended to a
+        // day-partitioned snapshot table and `idx` is its read-back
+        val cached = newIdx.cache()
+        idx = Some(idx.map(_.unionByName(cached)).getOrElse(cached))
+        out = Some(out.map(_.unionByName(pairs)).getOrElse(pairs))
+      }
+      out.get.select("id_a", "id_b", "est_jaccard")
+    }),
+
+    // ---- §2.10: mergeable top-k (heavy hitters) tier measure — the
+    //      SpaceSaving sketch rides fromRaw like counts/HLL and the 1h
+    //      states re-roll to 1d through the same merge the coarser
+    //      tiers use. The query runs in EXACT mode (max 67 distinct
+    //      users per day at sf0.01 << capacity 128), so the oracle is
+    //      the exact per-day top-5 with the same tie-break ----
+    "q65_topk_tiers" -> ((s, dir) => {
+      val t1h = Rollup.fromRaw(
+        t(s, dir, "events"),
+        Seq("event_type"),
+        "ts",
+        "1h",
+        lit(0L),
+        topk = Map("top_users" -> col("user_id").cast("string"))
+      )
+      val t1d = Rollup.reRollup(t1h, Seq("event_type"), "1h" -> "1d", topkCols = Seq("top_users"))
+      t1d.select(
+        col("event_type"),
+        col("bucket_ts"),
+        col("point_count"),
+        graft.rollup.TopK.present(col("top_users"), 5).as("top5_users")
+      )
+    }),
+
     // ---- M4 pdep-ranked vicinity corrector (W3 n-best deps, pr feature) ----
     "q46_vicinity_pdep" -> ((s, dir) => {
       val base = corruptible(s, dir, corrupt = true)
@@ -970,6 +1015,30 @@ object SparkEntry {
       seg.as("segment")
     )
   }
+
+  /** Batch MinHash+LSH in SQL (md5-prefix shingle hash, affine minhash
+    * family, band-slice buckets) — shared by q22 (batch) and q64
+    * (incremental fold, which must equal the batch run exactly).
+    */
+  private val minHashLshBatchSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+                   WHERE len(t) >= 3),
+         hv AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1000000007 AS hh
+                FROM grams),
+         mh AS (SELECT doc_id, i, min(((131 * i + 7) * hh + (1000003 * i + 12345)) % 1000000007) AS v
+                FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) ii GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(v ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         bk AS (SELECT doc_id, b, s[b * 4 + 1 : b * 4 + 4] AS key
+                FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bk x JOIN bk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         est AS (SELECT id_a, id_b,
+                        list_sum(list_transform(generate_series(1, 32),
+                          j -> CASE WHEN sa.s[j] = sb.s[j] THEN 1 ELSE 0 END)) / 32.0 AS est_jaccard
+                 FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->
@@ -1379,25 +1448,27 @@ object SparkEntry {
     // (md5-prefix shingle hash, affine minhash family, band-slice
     // buckets) re-expressed in SQL — verifies the approximate path
     // itself, not a recall-dependent comparison to the exact pairs.
-    "q22_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-                   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
-                   WHERE len(t) >= 3),
-         hv AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1000000007 AS hh
-                FROM grams),
-         mh AS (SELECT doc_id, i, min(((131 * i + 7) * hh + (1000003 * i + 12345)) % 1000000007) AS v
-                FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) ii GROUP BY doc_id, i),
-         sig AS (SELECT doc_id, list(v ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         bk AS (SELECT doc_id, b, s[b * 4 + 1 : b * 4 + 4] AS key
-                FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb),
-         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                  FROM bk x JOIN bk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
-         est AS (SELECT id_a, id_b,
-                        list_sum(list_transform(generate_series(1, 32),
-                          j -> CASE WHEN sa.s[j] = sb.s[j] THEN 1 ELSE 0 END)) / 32.0 AS est_jaccard
-                 FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
-         SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""",
+    "q22_minhash_lsh" -> minHashLshBatchSql,
+    // The incremental fold must equal the batch run EXACTLY (per-doc
+    // signatures, exactly-once pair emission) — so its oracle IS the
+    // batch SQL.
+    "q64_dedup_incremental" -> minHashLshBatchSql,
+    // Exact-mode oracle: below the sketch capacity the SpaceSaving
+    // counters ARE the exact per-item counts, so the exact top-5 with
+    // the identical (count desc, item asc) tie-break must match.
+    "q65_topk_tiers" ->
+      """WITH cnt AS (SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+                             CAST(user_id AS VARCHAR) AS u, count(*) AS c
+                      FROM events GROUP BY 1, 2, 3),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket_ts
+                                                 ORDER BY c DESC, u ASC) AS r FROM cnt),
+         tops AS (SELECT event_type, bucket_ts,
+                         string_agg(u || ':' || CAST(c AS VARCHAR), ',' ORDER BY c DESC, u ASC) AS top5_users
+                  FROM ranked WHERE r <= 5 GROUP BY 1, 2),
+         pc AS (SELECT event_type, date_trunc('day', ts) AS bucket_ts, count(*) AS point_count
+                FROM events GROUP BY 1, 2)
+         SELECT pc.event_type, pc.bucket_ts, pc.point_count, tops.top5_users
+         FROM pc JOIN tops USING (event_type, bucket_ts)""",
     // Algorithm-parity oracle: identical 32-table x 4-plane LCG LSH
     // candidate generation + exact rerank in SQL.
     "q24_ann_lsh" ->

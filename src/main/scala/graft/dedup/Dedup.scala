@@ -198,6 +198,80 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** LSH index relation for INCREMENTAL dedup: one row per (id, band)
+    * carrying the band's bucket key and the doc's full signature. A
+    * minhash signature depends only on the document itself (never the
+    * corpus), so this relation is appendable: at scale it is the state
+    * you persist as a day-partitioned snapshot table (`SnapshotStore`)
+    * keyed by (band, bucket), and each day's increment probes it
+    * instead of recomputing history.
+    */
+  def lshIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val sig = minHashSignatures(sh, bands * rowsPerBand)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("bucket"))
+    }
+    sig
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Incremental MinHash-LSH: dedup a NEW batch against the existing
+    * index without touching historical text. Emits exactly the
+    * batch-mode pairs that involve at least one batch document — an
+    * unordered pair is emitted exactly once across a batch sequence
+    * (when its later member arrives), so folding batches B1..Bk yields
+    * EXACTLY `minHashLsh(B1 ∪ ... ∪ Bk)`: signatures are per-doc, so
+    * the candidate set and the signature-agreement estimate are
+    * identical to the batch run (q64's oracle IS the batch SQL).
+    *
+    * Scale shape: the join probes the index on (band, bucket) — keys
+    * cross the wire, never pairs, and only the increment's buckets are
+    * on the build side. Returns (pairs, batch index rows); the caller
+    * appends the new rows to the stored index.
+    */
+  def minHashLshIncrement(
+      prevIndex: Option[DataFrame],
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      estThreshold: Double = 0.5
+  ): (DataFrame, DataFrame) = {
+    val numHashes = bands * rowsPerBand
+    val newIdx = lshIndex(batch, idCol, textCol, shingleN, bands, rowsPerBand)
+    val all = prevIndex.map(_.unionByName(newIdx)).getOrElse(newIdx)
+    val cand = newIdx
+      .as("x")
+      .join(all.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"), greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
+    // one signature row per id without a dedup shuffle: band 0 exists
+    // for every indexed doc
+    val sigs = all.filter(col("band") === 0).select(col("id"), col("sig"))
+    val agree = (0 until numHashes)
+      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
+      .reduce(_ + _)
+    val pairs = cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", agree.cast("double") / numHashes)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select("id_a", "id_b", "est_jaccard")
+    (pairs, newIdx)
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +/-1 votes of
     * the token-hash bit; sign forms the fingerprint. Pure expressions
     * via explode + conditional sums (no UDF). Token bits come from two

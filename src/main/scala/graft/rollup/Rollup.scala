@@ -34,7 +34,9 @@ object Rollup {
       sizeCol: Column,
       valueSums: Map[String, Column] = Map.empty,
       langCol: Option[String] = None,
-      sketches: Map[String, Column] = Map.empty
+      sketches: Map[String, Column] = Map.empty,
+      topk: Map[String, Column] = Map.empty,
+      topkCapacity: Int = 128
   ): DataFrame = {
     val keys = series.map(col) :+ Tiers.bucket(col(tsCol), tier).as("bucket_ts")
     val base: Seq[Column] =
@@ -45,7 +47,10 @@ object Rollup {
         // tiers via hll_union_agg, so coarser tiers re-aggregate
         // sketches exactly like counts — union of sub-sketches is
         // bit-identical to sketching the union directly
-        sketches.toSeq.sortBy(_._1).map { case (n, c) => hll_sketch_agg(c).as(n) }
+        sketches.toSeq.sortBy(_._1).map { case (n, c) => hll_sketch_agg(c).as(n) } ++:
+        // SpaceSaving heavy-hitter sketches (TopK): mergeable the same
+        // way; exact below `topkCapacity` distinct items per state
+        topk.toSeq.sortBy(_._1).map { case (n, c) => TopK.sketch(c, topkCapacity).as(n) }
     langCol match {
       case None =>
         df.groupBy(keys: _*).agg(base.head, base.tail: _*)
@@ -65,7 +70,8 @@ object Rollup {
           sum("point_count").as("point_count") +:
             sum("byte_size").as("byte_size") +:
             valueSums.keys.toSeq.sorted.map(n => sum(col(n)).as(n)) ++:
-            sketches.keys.toSeq.sorted.map(n => hll_union_agg(col(n)).as(n)) :+
+            sketches.keys.toSeq.sorted.map(n => hll_union_agg(col(n)).as(n)) ++:
+            topk.keys.toSeq.sorted.map(n => TopK.mergeSketch(col(n), topkCapacity).as(n)) :+
             map_from_entries(
               array_sort(collect_list(struct(col("__lang"), col("point_count"))))
             ).as("lang_hist")
@@ -80,7 +86,9 @@ object Rollup {
       tierDf: DataFrame,
       series: Seq[String],
       fromTo: (String, String),
-      sketchCols: Seq[String] = Seq.empty
+      sketchCols: Seq[String] = Seq.empty,
+      topkCols: Seq[String] = Seq.empty,
+      topkCapacity: Int = 128
   ): DataFrame = {
     val (_, to) = fromTo
     val hasHist = tierDf.columns.contains("lang_hist")
@@ -88,10 +96,12 @@ object Rollup {
       .filterNot(series.contains)
       .filterNot(Seq("bucket_ts", "lang_hist").contains)
       .filterNot(sketchCols.contains)
+      .filterNot(topkCols.contains)
     val keys = series.map(col) :+ Tiers.bucket(col("bucket_ts"), to).as("bucket_ts")
     if (!hasHist) {
       val aggs = measureCols.map(c => sum(col(c)).as(c)) ++
-        sketchCols.map(c => hll_union_agg(col(c)).as(c))
+        sketchCols.map(c => hll_union_agg(col(c)).as(c)) ++
+        topkCols.map(c => TopK.mergeSketch(col(c), topkCapacity).as(c))
       tierDf.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     } else {
       val exploded = tierDf.select(
@@ -102,7 +112,8 @@ object Rollup {
       // aggregate over distinct source rows — instead aggregate measures
       // and histogram in two branches and join on the keys
       val measureAggs = measureCols.map(c => sum(col(c)).as(c)) ++
-        sketchCols.map(c => hll_union_agg(col(c)).as(c))
+        sketchCols.map(c => hll_union_agg(col(c)).as(c)) ++
+        topkCols.map(c => TopK.mergeSketch(col(c), topkCapacity).as(c))
       val measures = tierDf
         .groupBy(keys: _*)
         .agg(measureAggs.head, measureAggs.tail: _*)

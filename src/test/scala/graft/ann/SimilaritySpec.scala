@@ -131,6 +131,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.6, s"near-dup LSH recall $r")
   }
 
+  test("incremental MinHash-LSH over 3 batches equals the batch run, each pair emitted once") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = Dedup.minHashLsh(docs, "doc_id", "text").cache()
+    var idx: Option[DataFrame] = None
+    var out: Option[DataFrame] = None
+    (0 to 2).foreach { i =>
+      val b = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      val (pairs, newIdx) = Dedup.minHashLshIncrement(idx, b, "doc_id", "text")
+      val cached = newIdx.cache()
+      idx = Some(idx.map(_.unionByName(cached)).getOrElse(cached))
+      out = Some(out.map(_.unionByName(pairs)).getOrElse(pairs))
+    }
+    val inc = out.get.cache()
+    // set equality AND multiplicity: every pair exactly once
+    assert(inc.count() == inc.select("id_a", "id_b").distinct().count(), "a pair was emitted twice")
+    assert(inc.count() == batch.count())
+    assert(inc.except(batch).isEmpty && batch.except(inc).isEmpty)
+    inc.unpersist(); batch.unpersist(); idx.foreach(_.unpersist())
+  }
+
   test("MinHash-LSH at est>=0.5 finds exactly the true jaccard>=0.5 pairs on this corpus") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val exact = Dedup
