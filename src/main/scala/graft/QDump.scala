@@ -31,7 +31,15 @@ object QDump {
         println(s"[qdump] centroid ($i, [$lst]),")
       }
     }
-    args.filterNot(_ == "--ivf-centroids").foreach { name =>
+    args.filter(_ == "--pq-codebook").foreach { _ =>
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read
+        .parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cb = graft.ann.Ann.trainPq(emb)
+      println(s"[qdump] pq-codebook [${cb.map(java.lang.Double.toString).mkString(", ")}]")
+    }
+    args.filterNot(a => a == "--ivf-centroids" || a == "--pq-codebook").foreach { name =>
       val out = SparkEntry.queries(name)(spark, sfDir)
       val cols = out.columns.sorted
       out

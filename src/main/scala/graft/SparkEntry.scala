@@ -648,6 +648,20 @@ object SparkEntry {
       out.get.select("id_a", "id_b", "est_jaccard")
     }),
 
+    // ---- similarity: product quantization (IVF-PQ's memory stage) —
+    //      the corpus scan touches 8 sub-codes per vector (32x smaller
+    //      than the floats), ADC shortlists 50 per query, exact cosine
+    //      reranks the shortlist; the oracle pins the trained codebook
+    //      and replays normalize -> encode -> ADC -> rerank in DuckDB ----
+    "q66_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cb = Ann.trainPq(emb)
+      Ann.pqTopK(emb, q, k = 10, cb, rerank = 50).drop("sim")
+    }),
+
     // ---- §2.10: mergeable top-k (heavy hitters) tier measure — the
     //      SpaceSaving sketch rides fromRaw like counts/HLL and the 1h
     //      states re-roll to 1d through the same merge the coarser
@@ -1592,6 +1606,7 @@ object SparkEntry {
     "q45_meta_learner" -> GbtGoldens.q45,
     "q62_meta_learner_cv" -> GbtGoldens.q62,
     "q63_ann_ivf_kmeans" -> IvfGoldens.q63,
+    "q66_ann_pq" -> IvfGoldens.q66,
     "q52_cleaning_synth" -> GbtGoldens.q52,
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its

@@ -265,6 +265,23 @@ object Ann {
     * cluster that empties keeps its previous centroid (no random
     * resampling — determinism over Lloyd's-textbook purity).
     */
+  /** Bounded, hash-chosen, unit-normalized training sample (zero
+    * vectors dropped — they carry no direction). Order is the hash
+    * order: deterministic across runs and partitionings.
+    */
+  private def normalizedSample(corpus: DataFrame, sampleN: Int, seed: Long): Array[Array[Double]] =
+    corpus
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("id"), col("embedding").cast("array<double>").as("e"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+      .flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) None else Some(v.map(_ / n))
+      }
+
   def trainCentroids(
       corpus: DataFrame, // (id, embedding)
       nCentroids: Int,
@@ -272,18 +289,7 @@ object Ann {
       sampleN: Int = 4096,
       seed: Long = 42L
   ): Array[Array[Double]] = {
-    val sample = corpus
-      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
-      .select(col("id"), col("embedding").cast("array<double>").as("e"))
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(sampleN)
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
-    // unit-normalize; zero vectors carry no direction — drop from training
-    val vecs = sample.flatMap { v =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) None else Some(v.map(_ / n))
-    }
+    val vecs = normalizedSample(corpus, sampleN, seed)
     require(
       vecs.length >= nCentroids,
       s"k-means needs >= $nCentroids non-zero sample vectors, got ${vecs.length}"
@@ -398,5 +404,196 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** Deterministic L2 Lloyd's over pre-extracted vectors: farthest-
+    * point init (first vector, then max-min-distance, ties -> lowest
+    * sample index), fixed iterations, empty cluster keeps its previous
+    * centroid. Used per PQ subspace.
+    */
+  private def lloydL2(vecs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = vecs.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val df = a(i) - b(i); s += df * df; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(vecs.head)
+    val minDist = vecs.map(d2(_, vecs.head))
+    while (chosen.length < k) {
+      var best = 0; var bestD = Double.NegativeInfinity
+      var r = 0
+      while (r < vecs.length) {
+        if (minDist(r) > bestD) { bestD = minDist(r); best = r }
+        r += 1
+      }
+      val next = vecs(best)
+      chosen += next
+      r = 0
+      while (r < vecs.length) {
+        val d = d2(vecs(r), next)
+        if (d < minDist(r)) minDist(r) = d
+        r += 1
+      }
+    }
+    var cents = chosen.toArray.map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      vecs.foreach { v =>
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val d = d2(v, cents(c))
+          if (d < bestD) { bestD = d; best = c } // ties keep lowest c
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** Deterministic product-quantization codebook: split the (unit-
+    * normalized) embedding into `m` subspaces of `dim / m` components
+    * and run plain L2 Lloyd's per subspace on the bounded hash-chosen
+    * sample. Returns the codebook flattened as
+    * `[(s * kCodes + c) * dsub + j]` — the layout `PqEncode` and the
+    * q66 oracle index into. Driver-side sequential math: bit-
+    * reproducible, so the oracle can pin the codebook as literals.
+    *
+    * On unit vectors, L2 distance ranks identically to cosine
+    * (|a-b|^2 = 2 - 2 cos), so the PQ scores approximate the same
+    * geometry every other ANN path here uses.
+    */
+  def trainPq(
+      corpus: DataFrame, // (id, embedding)
+      m: Int = 8,
+      kCodes: Int = 16,
+      iters: Int = 10,
+      sampleN: Int = 4096,
+      seed: Long = 42L
+  ): Array[Double] = {
+    val vecs = normalizedSample(corpus, sampleN, seed)
+    require(vecs.length >= kCodes, s"PQ needs >= $kCodes non-zero sample vectors, got ${vecs.length}")
+    val dim = vecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val out = new Array[Double](m * kCodes * dsub)
+    (0 until m).foreach { s =>
+      val sub = vecs.map(_.slice(s * dsub, (s + 1) * dsub))
+      val cents = lloydL2(sub, kCodes, iters)
+      var c = 0
+      while (c < kCodes) {
+        System.arraycopy(cents(c), 0, out, (s * kCodes + c) * dsub, dsub)
+        c += 1
+      }
+    }
+    out
+  }
+
+  /** PQ-only approximate top-k (asymmetric distance computation): the
+    * corpus is stored as `m` sub-codes per vector (32x smaller than
+    * the raw floats at m=8, k=16 over 64 dims — THE memory lever at
+    * 100 TB), each query precomputes its m x kCodes distance lookup
+    * table driver-side (queries are small by contract), and scoring is
+    * m table lookups per candidate. Ranks ascend by approximate
+    * distance, ties on ascending id. Exactness baseline stays
+    * `bruteForceTopK`.
+    *
+    * `rerank > 0` adds the production second stage: the PQ scores cut
+    * the corpus to a `rerank`-sized shortlist per query, and ONLY the
+    * shortlist re-reads true vectors for an exact cosine rerank — the
+    * full scan touches m-byte codes, never floats (measured recall@10
+    * on the test corpus: 0.33 PQ-only, 0.70 with a 50-vector rerank,
+    * 0.88 with 100 — a 20% float-read budget; SimilaritySpec).
+    */
+  def pqTopK(
+      corpus: DataFrame, // (id, embedding)
+      queries: DataFrame, // (query_id, embedding)
+      k: Int,
+      codebook: Array[Double],
+      m: Int = 8,
+      kCodes: Int = 16,
+      rerank: Int = 0
+  ): DataFrame = {
+    val dsub = codebook.length / (m * kCodes)
+    val c0 = corpus
+      .select(col("id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), transform(col("e"), x => x / col("nrm")).as("e"))
+    val codes = c0.select(col("id"), graft.functions.PqEncode(col("e"), codebook, m, kCodes, dsub).as("codes"))
+    val qRows = queries
+      .select(col("query_id"), col("embedding").cast("array<double>").as("e"))
+      .orderBy("query_id")
+      .collect()
+    val luts = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val e = r.getSeq[Double](1).toArray
+      val n = math.sqrt(e.map(x => x * x).sum)
+      if (n == 0.0) None
+      else {
+        val v = e.map(_ / n)
+        val lut = new Array[Double](m * kCodes)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < kCodes) {
+            var d = 0.0; var j = 0
+            while (j < dsub) {
+              val diff = v(s * dsub + j) - codebook((s * kCodes + c) * dsub + j)
+              d += diff * diff
+              j += 1
+            }
+            lut(s * kCodes + c) = d
+            c += 1
+          }
+          s += 1
+        }
+        Some((qid, lut.toSeq))
+      }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lutDf = luts.toSeq.toDF("query_id", "lut")
+    val adist = aggregate(
+      transform(
+        sequence(lit(0), lit(m - 1)),
+        s => element_at(col("lut"), s * lit(kCodes) + element_at(col("codes"), s + lit(1)) + lit(1))
+      ),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    val scored = codes
+      .crossJoin(broadcast(lutDf))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("id").asc)
+    val pqRanked = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= (if (rerank > 0) rerank else k))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank").cast("long").as("rank"), col("adist"))
+    if (rerank == 0) pqRanked
+    else {
+      // exact second stage over the shortlist only: true vectors are
+      // read for |queries| * rerank rows, not the corpus
+      val q = queries.select(col("query_id"), col("embedding").cast("array<double>").as("q_emb"))
+      val cand = pqRanked.select(col("query_id"), col("neighbor_id").as("id"))
+      val exact = cand
+        .join(corpus.select(col("id"), col("embedding").cast("array<double>").as("embedding")), "id")
+        .join(broadcast(q), "query_id")
+        .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+      exact
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("rank").cast("long").as("rank"), col("sim"))
+    }
   }
 }

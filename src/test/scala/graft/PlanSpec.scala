@@ -108,8 +108,10 @@ class PlanSpec extends SparkSpec {
     // broadcast-model or tiny-side joins where a nested-loop is the
     // right plan: brute-force/centroid crosses (exactness baselines),
     // literal-column broadcast model lookups, single-row evaluation
-    val allowNlj =
-      Set("q15_ann_brute", "q28_ann_ivf", "q63_ann_ivf_kmeans", "q35_embed_neardup", "q31_imputer", "q33_evaluate")
+    val allowNlj = Set(
+      "q15_ann_brute", "q28_ann_ivf", "q63_ann_ivf_kmeans", "q66_ann_pq",
+      "q35_embed_neardup", "q31_imputer", "q33_evaluate"
+    )
     // row_id-keyed apply/overlay joins: both sides scale with the
     // table, so a shuffle join IS the 100-TB plan (full-outer overlay
     // cannot broadcast at all)

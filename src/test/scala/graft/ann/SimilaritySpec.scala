@@ -111,6 +111,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rT >= 0.55, s"trained ivfTopK recall $rT")
   }
 
+  test("PQ: ADC shortlist + exact rerank recovers recall at a 20% float-read budget") {
+    val qs = emb.filter(col("id") >= 100 && col("id") < 110).select(col("id").as("query_id"), col("embedding"))
+    val exact = Ann.bruteForceTopK(emb, qs, k = 10)
+    val cb = Ann.trainPq(emb)
+    assert(cb.length == 8 * 16 * 8)
+    val pqOnly = Ann.pqTopK(emb, qs, k = 10, cb)
+    val r0 = pairRecall(exact, pqOnly, Seq("query_id", "neighbor_id"))
+    val r50 = pairRecall(exact, Ann.pqTopK(emb, qs, k = 10, cb, rerank = 50), Seq("query_id", "neighbor_id"))
+    val r100 = pairRecall(exact, Ann.pqTopK(emb, qs, k = 10, cb, rerank = 100), Seq("query_id", "neighbor_id"))
+    // measured 0.33 / 0.70 / 0.88: the 4-bit x 8-sub code is a lossy
+    // 32x compression — the rerank budget buys the recall back
+    assert(r0 >= 0.25, s"PQ-only recall $r0")
+    assert(r50 >= 0.6 && r50 > r0, s"rerank-50 recall $r50 (PQ-only $r0)")
+    assert(r100 >= 0.8 && r100 > r50, s"rerank-100 recall $r100 (rerank-50 $r50)")
+  }
+
   test("k-means training is deterministic and drops zero vectors") {
     import spark.implicits._
     val zeroRow = Seq((-1L, Array.fill(64)(0.0f))).toDF("id", "embedding")
