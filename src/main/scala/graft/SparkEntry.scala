@@ -662,6 +662,14 @@ object SparkEntry {
       Ann.pqTopK(emb, q, k = 10, cb, rerank = 50).drop("sim")
     }),
 
+    // ---- the end-to-end webtext preprocessing pass: lang-ID +
+    //      quality gate + exact dedup + near-dedup + token accounting
+    //      in ONE call; every stage is an order-free corpus predicate,
+    //      so the oracle replays each in SQL and intersects ----
+    "q67_corpus_pipeline" -> ((s, dir) => {
+      graft.text.CorpusPipeline.clean(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // ---- §2.10: mergeable top-k (heavy hitters) tier measure — the
     //      SpaceSaving sketch rides fromRaw like counts/HLL and the 1h
     //      states re-roll to 1d through the same merge the coarser
@@ -1054,6 +1062,44 @@ object SparkEntry {
                  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
          SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5"""
 
+  /** Marker-token lang-ID in SQL — q16, and a CTE of q67. */
+  private val langIdSql: String = {
+    def sc(markers: Seq[String]) = {
+      val list = markers.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($list)))"
+    }
+    val de = sc(Seq("der", "die", "und", "nicht"))
+    val en = sc(Seq("the", "and", "of", "is"))
+    val es = sc(Seq("el", "los", "y", "que"))
+    val fr = sc(Seq("le", "la", "et", "les"))
+    s"""WITH scored AS (
+          SELECT doc_id, $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr FROM documents)
+        SELECT doc_id,
+               CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored"""
+  }
+
+  /** Quality features + score in SQL — q17, and a CTE of q67. */
+  private val qualitySql: String = {
+    val stop = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+               length(text) AS n_chars_calc,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS n_stopwords,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish,
+               round(
+                 least(length(text) / 500.0, 1.0) * 0.4 +
+                 (len(list_filter(string_split(text, ' '), w -> w IN ($stop))) * 1.0 /
+                   greatest(len(string_split(text, ' ')), 1)) * 0.3 +
+                 (CASE WHEN length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1)
+                            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+        FROM documents"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
@@ -1161,40 +1207,8 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
            FROM scored)
          SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10""",
-    "q16_langid" -> {
-      def sc(markers: Seq[String]) = {
-        val list = markers.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(string_split(text, ' '), w -> w IN ($list)))"
-      }
-      val de = sc(Seq("der", "die", "und", "nicht"))
-      val en = sc(Seq("the", "and", "of", "is"))
-      val es = sc(Seq("el", "los", "y", "que"))
-      val fr = sc(Seq("le", "la", "et", "les"))
-      s"""WITH scored AS (
-            SELECT doc_id, $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr FROM documents)
-          SELECT doc_id,
-                 CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
-                      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                      WHEN s_es >= s_fr THEN 'es'
-                      ELSE 'fr' END AS lang_pred
-          FROM scored"""
-    },
-    "q17_quality" -> {
-      val stop = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
-      s"""SELECT doc_id,
-                 length(text) AS n_chars_calc,
-                 len(string_split(text, ' ')) AS n_tokens,
-                 len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS n_stopwords,
-                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish,
-                 round(
-                   least(length(text) / 500.0, 1.0) * 0.4 +
-                   (len(list_filter(string_split(text, ' '), w -> w IN ($stop))) * 1.0 /
-                     greatest(len(string_split(text, ' ')), 1)) * 0.3 +
-                   (CASE WHEN length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1)
-                              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
-          FROM documents"""
-    },
+    "q16_langid" -> langIdSql,
+    "q17_quality" -> qualitySql,
     "q18_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents""",
     "q19_blocks_roundtrip" ->
@@ -1467,6 +1481,27 @@ object SparkEntry {
     // signatures, exactly-once pair emission) — so its oracle IS the
     // batch SQL.
     "q64_dedup_incremental" -> minHashLshBatchSql,
+    // Stage-by-stage replay: the LSH CTE chain (shared with q22/q64)
+    // feeds the near-dup drop set; lang-ID and quality re-run as CTEs;
+    // exact dedup is a min-id-per-text keeper set; the survivor rows
+    // intersect all three predicates.
+    "q67_corpus_pipeline" -> {
+      val lshCtes = minHashLshBatchSql
+        .substring(0, minHashLshBatchSql.lastIndexOf("SELECT id_a"))
+        .trim
+      s"""$lshCtes,
+         nd AS (SELECT DISTINCT id_b FROM est WHERE est_jaccard >= 0.5),
+         lang AS ($langIdSql),
+         qual AS ($qualitySql),
+         keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         SELECT d.doc_id, lang.lang_pred AS lang, qual.quality, qual.n_tokens, qual.n_bpeish
+         FROM documents d
+         JOIN lang ON lang.doc_id = d.doc_id
+         JOIN qual ON qual.doc_id = d.doc_id
+         WHERE qual.quality >= 0.5
+           AND d.doc_id IN (SELECT doc_id FROM keep)
+           AND d.doc_id NOT IN (SELECT id_b FROM nd)""".stripMargin
+    },
     // Exact-mode oracle: below the sketch capacity the SpaceSaving
     // counters ARE the exact per-item counts, so the exact top-5 with
     // the identical (count desc, item asc) tie-break must match.

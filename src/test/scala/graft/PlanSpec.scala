@@ -119,7 +119,9 @@ class PlanSpec extends SparkSpec {
     // data-sized sides (tokens scale with the corpus) — shuffle joins
     // ARE the 100-TB plan there; the reduced conditional model joins
     // back to error cells via AQE-chosen sides
-    val allowSmj = Set("q07_correct_fd", "q32_user_overlay", "q59_entity_corrector")
+    // q67: the exact-dedup digest join and the near-dup anti-join both
+    // pair corpus-sized relations on a key — shuffle joins by design
+    val allowSmj = Set("q07_correct_fd", "q32_user_overlay", "q59_entity_corrector", "q67_corpus_pipeline")
     val dir = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip.contains(name)) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
