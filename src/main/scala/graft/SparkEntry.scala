@@ -670,6 +670,32 @@ object SparkEntry {
       graft.text.CorpusPipeline.clean(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // ---- webtext URL canonicalization + canonical-key dedup: the
+    //      synthetic crawl serves each page under three deterministic
+    //      disguises (upper-case host + default port + fragment;
+    //      tracking params; unsorted params) — canonical grouping must
+    //      reunite the first two and keep the param variant distinct ----
+    "q68_url_canonical" -> ((s, dir) => {
+      val d = col("doc_id")
+      val site = pmod(d, lit(7)).cast("string")
+      val page = pmod(d, lit(11)).cast("string")
+      val url = when(
+        pmod(d, lit(3)) === 0,
+        concat(lit("https://www.Example"), site, lit(".com/p"), page, lit("?utm_source=feed&ref=rss"))
+      ).when(
+          pmod(d, lit(3)) === 1,
+          concat(lit("HTTPS://WWW.EXAMPLE"), site, lit(".COM:443/p"), page, lit("#frag"))
+        )
+        .otherwise(concat(lit("https://www.example"), site, lit(".com/p"), page, lit("?b=2&a=1")))
+      t(s, dir, "documents")
+        .select(d, url.as("url"))
+        .groupBy(
+          graft.text.UrlOps.canonicalize(col("url")).as("canonical_url"),
+          graft.text.UrlOps.registeredDomain(col("url")).as("registered_domain")
+        )
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    }),
+
     // ---- §2.10: mergeable top-k (heavy hitters) tier measure — the
     //      SpaceSaving sketch rides fromRaw like counts/HLL and the 1h
     //      states re-roll to 1d through the same merge the coarser
@@ -1502,6 +1528,33 @@ object SparkEntry {
            AND d.doc_id IN (SELECT doc_id FROM keep)
            AND d.doc_id NOT IN (SELECT id_b FROM nd)""".stripMargin
     },
+    // Algorithm-parity oracle: identical URL synthesis + canonical
+    // rules (lowercase scheme/host, default-port strip, fragment drop,
+    // tracking-param drop, param sort) replayed with DuckDB regex +
+    // list functions.
+    "q68_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'https://www.Example' || (doc_id % 7) || '.com/p' || (doc_id % 11) || '?utm_source=feed&ref=rss'
+                    WHEN doc_id % 3 = 1 THEN 'HTTPS://WWW.EXAMPLE' || (doc_id % 7) || '.COM:443/p' || (doc_id % 11) || '#frag'
+                    ELSE 'https://www.example' || (doc_id % 7) || '.com/p' || (doc_id % 11) || '?b=2&a=1' END AS url
+             FROM documents),
+         nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+         parts AS (SELECT doc_id,
+                     lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+                     regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)), ':(443|80)$', '') AS host,
+                     regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                     regexp_extract(nofrag, '\?(.*)$', 1) AS query
+                   FROM nf),
+         canon AS (SELECT doc_id,
+                     scheme || '://' || host || path ||
+                       CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END AS canonical_url,
+                     regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registered_domain
+                   FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+                           p -> NOT (regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=') OR p = ''))), '&') AS q
+                         FROM parts))
+         SELECT canonical_url, registered_domain,
+                CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS n_copies
+         FROM canon GROUP BY 1, 2""",
     // Exact-mode oracle: below the sketch capacity the SpaceSaving
     // counters ARE the exact per-item counts, so the exact top-5 with
     // the identical (count desc, item asc) tie-break must match.
