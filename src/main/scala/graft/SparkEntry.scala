@@ -670,6 +670,19 @@ object SparkEntry {
       graft.text.CorpusPipeline.clean(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // ---- similarity: IVF-PQ composed — cell-pruned ADC over the
+    //      (id, cell, codes) index, shortlist, exact rerank; the
+    //      oracle replays BOTH pinned models end to end ----
+    "q69_ann_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val q = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = Ann.trainCentroids(emb, nCentroids = 8)
+      val cb = Ann.trainPq(emb)
+      Ann.ivfPqTopK(emb, q, k = 10, cents, cb).drop("sim")
+    }),
+
     // ---- webtext URL canonicalization + canonical-key dedup: the
     //      synthetic crawl serves each page under three deterministic
     //      disguises (upper-case host + default port + fragment;
@@ -1695,6 +1708,7 @@ object SparkEntry {
     "q62_meta_learner_cv" -> GbtGoldens.q62,
     "q63_ann_ivf_kmeans" -> IvfGoldens.q63,
     "q66_ann_pq" -> IvfGoldens.q66,
+    "q69_ann_ivf_pq" -> IvfGoldens.q69,
     "q52_cleaning_synth" -> GbtGoldens.q52,
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its

@@ -596,4 +596,113 @@ object Ann {
         .select(col("query_id"), col("id").as("neighbor_id"), col("rank").cast("long").as("rank"), col("sim"))
     }
   }
+
+  /** IVF-PQ composed — the production 100-TB ANN shape: the stored
+    * index row is (id, cell, codes) — an int cell and m sub-codes per
+    * vector, no floats. A query probes its `nprobe` nearest IVF cells,
+    * ADC-scores ONLY those cells' codes (m table lookups per
+    * candidate), shortlists `rerank` per query, and re-reads true
+    * vectors for the exact rerank of the shortlist alone. Cell
+    * assignment matches ivfTopK's trained path (cosine on raw vectors)
+    * and encoding matches pqTopK (unit-normalized subvector L2), so
+    * the q69 oracle replays both models end to end.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, // (id, embedding)
+      queries: DataFrame, // (query_id, embedding)
+      k: Int,
+      centroids: Array[Array[Double]],
+      codebook: Array[Double],
+      m: Int = 8,
+      kCodes: Int = 16,
+      nprobe: Int = 2,
+      rerank: Int = 50
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = codebook.length / (m * kCodes)
+    val centDf = centroids.zipWithIndex
+      .map { case (e, i) => (i.toLong, e.toSeq) }
+      .toSeq
+      .toDF("centroid_id", "c_emb")
+    // index build: one corpus pass -> (id, cell, codes)
+    val c0 = corpus
+      .select(col("id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), col("e"), transform(col("e"), x => x / col("nrm")).as("v"))
+    val wc = Window.partitionBy("id").orderBy(col("c_sim").desc, col("centroid_id").asc)
+    val codes = c0
+      .crossJoin(broadcast(centDf))
+      .withColumn("c_sim", cosine(col("e"), col("c_emb")))
+      .withColumn("r", row_number().over(wc))
+      .filter(col("r") === 1)
+      .select(
+        col("id"),
+        col("centroid_id").as("cell"),
+        graft.functions.PqEncode(col("v"), codebook, m, kCodes, dsub).as("codes")
+      )
+    // query side: nprobe cells + the ADC lookup table, all broadcast
+    val q0 = queries.select(col("query_id"), col("embedding").cast("array<double>").as("q_emb"))
+    val wq = Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("centroid_id").asc)
+    val probes = q0
+      .crossJoin(broadcast(centDf))
+      .withColumn("c_sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val luts = q0.orderBy("query_id").collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val e = r.getSeq[Double](1).toArray
+      val n = math.sqrt(e.map(x => x * x).sum)
+      if (n == 0.0) None
+      else {
+        val v = e.map(_ / n)
+        val lut = new Array[Double](m * kCodes)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < kCodes) {
+            var d = 0.0; var j = 0
+            while (j < dsub) {
+              val diff = v(s * dsub + j) - codebook((s * kCodes + c) * dsub + j)
+              d += diff * diff
+              j += 1
+            }
+            lut(s * kCodes + c) = d
+            c += 1
+          }
+          s += 1
+        }
+        Some((qid, lut.toSeq))
+      }
+    }
+    val qSide = probes.join(luts.toSeq.toDF("query_id", "lut"), "query_id")
+    val adist = aggregate(
+      transform(
+        sequence(lit(0), lit(m - 1)),
+        s => element_at(col("lut"), s * lit(kCodes) + element_at(col("codes"), s + lit(1)) + lit(1))
+      ),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    val scored = codes
+      .join(broadcast(qSide), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adist", adist)
+    val ws = Window.partitionBy("query_id").orderBy(col("adist").asc, col("id").asc)
+    val short = scored
+      .withColumn("r", row_number().over(ws))
+      .filter(col("r") <= rerank)
+      .select(col("query_id"), col("id"))
+    val exact = short
+      .join(corpus.select(col("id"), col("embedding").cast("array<double>").as("embedding")), "id")
+      .join(broadcast(q0), "query_id")
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+    val wk = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    exact
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank").cast("long").as("rank"), col("sim"))
+  }
 }

@@ -109,7 +109,7 @@ class PlanSpec extends SparkSpec {
     // right plan: brute-force/centroid crosses (exactness baselines),
     // literal-column broadcast model lookups, single-row evaluation
     val allowNlj = Set(
-      "q15_ann_brute", "q28_ann_ivf", "q63_ann_ivf_kmeans", "q66_ann_pq",
+      "q15_ann_brute", "q28_ann_ivf", "q63_ann_ivf_kmeans", "q66_ann_pq", "q69_ann_ivf_pq",
       "q35_embed_neardup", "q31_imputer", "q33_evaluate"
     )
     // row_id-keyed apply/overlay joins: both sides scale with the

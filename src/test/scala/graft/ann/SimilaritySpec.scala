@@ -127,6 +127,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r100 >= 0.8 && r100 > r50, s"rerank-100 recall $r100 (rerank-50 $r50)")
   }
 
+  test("IVF-PQ composed: cell pruning costs little recall on top of the PQ shortlist") {
+    val qs = emb.filter(col("id") >= 100 && col("id") < 110).select(col("id").as("query_id"), col("embedding"))
+    val exact = Ann.bruteForceTopK(emb, qs, k = 10)
+    val cents = Ann.trainCentroids(emb, nCentroids = 8)
+    val cb = Ann.trainPq(emb)
+    val full = Ann.pqTopK(emb, qs, k = 10, cb, rerank = 50)
+    val pruned = Ann.ivfPqTopK(emb, qs, k = 10, cents, cb, nprobe = 2, rerank = 50)
+    val rFull = pairRecall(exact, full, Seq("query_id", "neighbor_id"))
+    val rPruned = pairRecall(exact, pruned, Seq("query_id", "neighbor_id"))
+    // the pruned scan ADC-scores ~2/8 of the codes yet must keep most
+    // of the full-scan PQ recall (trained cells hold the neighborhoods)
+    assert(rPruned >= rFull - 0.15, s"IVF-PQ recall $rPruned vs full-PQ $rFull")
+    assert(rPruned >= 0.5, s"IVF-PQ recall $rPruned")
+  }
+
   test("k-means training is deterministic and drops zero vectors") {
     import spark.implicits._
     val zeroRow = Seq((-1L, Array.fill(64)(0.0f))).toDF("id", "embedding")
