@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Scratch single-query row dump (golden regeneration):
   * `runMain graft.QDump q62_meta_learner_cv` prints every row sorted;
-  * `runMain graft.QDump --ivf-centroids` prints the trained q63
-  * quantizer as DuckDB VALUES rows for the oracle's per-SF pin.
+  * `--ivf-centroids` prints the trained IVF quantizer as DuckDB VALUES
+  * rows and `--pq-codebook` the flattened PQ codebook list — the per-SF
+  * model literals pinned in IvfGoldens (q63/q66/q69). Run once per SF
+  * via SPARK_GRAFT_SF_DIR.
   */
 object QDump {
   def main(args: Array[String]): Unit = {
