@@ -683,6 +683,58 @@ object SparkEntry {
       Ann.ivfPqTopK(emb, q, k = 10, cents, cb).drop("sim")
     }),
 
+    // ---- repetition quality gate (Gopher-style, word-stream form):
+    //      dup-word / top-bigram / dup-trigram fractions + keep flag,
+    //      computed per row with zero shuffles (sorted-run aggregate
+    //      for the max n-gram frequency) ----
+    "q70_repetition" -> ((s, dir) => {
+      graft.text.CorpusClean
+        .repetitionStats(t(s, dir, "documents"), "text")
+        .select("doc_id", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac", "keep")
+    }),
+
+    // ---- corpus-level boilerplate pruning by token document
+    //      frequency (CCNet common-line removal adapted to word
+    //      streams): DF over distinct (doc, token), vocabulary-bounded
+    //      hot list broadcast back as a per-row filter ----
+    "q71_boilerplate_df" -> ((s, dir) => {
+      graft.text.CorpusClean
+        .dfPrune(t(s, dir, "documents"), "doc_id", "text", minDfFrac = 0.78)
+        ._1
+    }),
+
+    // ---- PII redaction: deterministic injected email/IP/phone
+    //      (counts vary per doc) redacted by shared-dialect regexes,
+    //      plus per-type pre-redaction counts ----
+    "q72_pii_redact" -> ((s, dir) => {
+      import graft.text.CorpusClean
+      val aug = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@mail"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".com"),
+          expr(
+            """repeat(concat(' call 555-01', lpad(cast(doc_id % 100 as string), 2, '0')),
+                      cast(doc_id % 3 as int))"""
+          ),
+          lit(" host 10."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1")
+        ).as("atext")
+      )
+      aug.select(
+        col("doc_id"),
+        CorpusClean.redactPii(col("atext")).as("redacted"),
+        CorpusClean.piiCount(col("atext"), CorpusClean.EmailRe).as("n_email"),
+        CorpusClean.piiCount(col("atext"), CorpusClean.IpRe).as("n_ip"),
+        CorpusClean.piiCount(col("atext"), CorpusClean.PhoneRe).as("n_phone")
+      )
+    }),
+
     // ---- webtext URL canonicalization + canonical-key dedup: the
     //      synthetic crawl serves each page under three deterministic
     //      disguises (upper-case host + default port + fragment;
@@ -1710,6 +1762,53 @@ object SparkEntry {
     "q66_ann_pq" -> IvfGoldens.q66,
     "q69_ann_ivf_pq" -> IvfGoldens.q69,
     "q52_cleaning_synth" -> GbtGoldens.q52,
+    // Repetition stats: bigram/trigram lists rebuilt with 1-based list
+    // comprehension transforms; max bigram frequency via unnest+group
+    // (the oracle may shuffle — only the engine side must not).
+    "q70_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         base AS (SELECT doc_id, l, len(l) AS n,
+             CASE WHEN len(l) < 2 THEN [] ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) END AS bg,
+             CASE WHEN len(l) < 3 THEN [] ELSE list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END AS tg
+           FROM toks),
+         bge AS (SELECT doc_id, unnest(bg) AS b FROM base),
+         mx AS (SELECT doc_id, max(c) AS maxbg FROM (SELECT doc_id, b, count(*) AS c FROM bge GROUP BY 1, 2) GROUP BY 1),
+         st AS (SELECT base.doc_id,
+             round(1.0 - len(list_distinct(l)) * 1.0 / n, 6) AS dup_word_frac,
+             round(CASE WHEN n < 2 THEN 0.0 ELSE least(1.0, 2.0 * coalesce(maxbg, 0) / n) END, 6) AS top_bigram_frac,
+             round(CASE WHEN n < 3 THEN 0.0 ELSE 1.0 - len(list_distinct(tg)) * 1.0 / (n - 2) END, 6) AS dup_trigram_frac
+           FROM base LEFT JOIN mx ON base.doc_id = mx.doc_id)
+         SELECT doc_id, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+                (dup_word_frac <= 0.6 AND top_bigram_frac <= 0.125) AS keep
+         FROM st""",
+    // Boilerplate DF pruning: hot list = tokens in >= 78% of docs,
+    // applied as a list_filter with the hot list cross-joined in.
+    "q71_boilerplate_df" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         hot AS (SELECT tok FROM (SELECT DISTINCT doc_id, unnest(l) AS tok FROM toks)
+                 GROUP BY tok HAVING count(*) >= 0.78 * (SELECT count(*) FROM documents)),
+         hl AS (SELECT coalesce(list(tok), []) AS hw FROM hot)
+         SELECT doc_id,
+                array_to_string(list_filter(l, w -> NOT list_contains(hw, w)), ' ') AS clean_text,
+                CAST(len(l) - len(list_filter(l, w -> NOT list_contains(hw, w))) AS BIGINT) AS n_removed
+         FROM toks, hl""",
+    // PII: identical inject expression, identical regexes (Java ∩ RE2
+    // dialect), redaction order email -> IP -> phone; DuckDB needs the
+    // explicit 'g' flag to match Spark's replace-all.
+    "q72_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail' || (doc_id % 7) || '.com' ||
+             repeat(' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0'), (doc_id % 3)::INT) ||
+             ' host 10.' || (doc_id % 256) || '.0.1' AS atext FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(atext,
+                  '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                  '555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+                CAST(len(regexp_extract_all(atext, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(atext, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+                CAST(len(regexp_extract_all(atext, '555-[0-9]{4}')) AS BIGINT) AS n_phone
+         FROM aug""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
