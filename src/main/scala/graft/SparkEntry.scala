@@ -735,6 +735,64 @@ object SparkEntry {
       )
     }),
 
+    // ---- as-of join: purchases pick up the most recent prior-or-equal
+    //      signup snapshot of the same user — ONE shared hash exchange
+    //      plus an in-partition sort (sort-merge shape), never the
+    //      per-key-cartesian range join; oracle is DuckDB's native
+    //      ASOF LEFT JOIN over the identical inputs ----
+    "q73_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"), col("value"))
+        .groupBy("user_id", "signup_ts")
+        .agg(max("value").as("signup_value"))
+      graft.operators.AsofJoin.asof(purchases, signups, Seq("user_id"), "ts", "signup_ts")
+    }),
+
+    // ---- gap-based sessionization (30-min inactivity): lag-diff flags
+    //      session starts, a running sum numbers them — both windows
+    //      share one exchange+sort on user_id — then per-session
+    //      start/end/count/value reduce ----
+    "q74_sessionize" -> ((s, dir) => {
+      graft.operators.Sessionize.sessions(
+        t(s, dir, "events"),
+        Seq("user_id"),
+        "ts",
+        gapMicros = 30L * 60 * 1000000,
+        tieBreak = "event_id",
+        extraAggs = Seq(dsum(col("value")).as("value_sum"))
+      )
+    }),
+
+    // ---- mergeable quantile tier sketch: p50/p95 of event value per
+    //      (event_type, day), computed through the 1m -> 1h -> 1d
+    //      cascade (states merge like counts — raw scanned once); at
+    //      these per-bucket cardinalities the sketch is in exact mode,
+    //      so DuckDB's exact weighted-quantile replay must match ----
+    "q75_quantile_tiers" -> ((s, dir) => {
+      import graft.rollup.QuantileSketch
+      val t1m = Rollup.fromRaw(
+        t(s, dir, "events"),
+        Seq("event_type"),
+        "ts",
+        "1m",
+        lit(0L),
+        quantiles = Map("qs" -> col("value"))
+      )
+      val t1h = Rollup.reRollup(t1m, Seq("event_type"), "1m" -> "1h", quantileCols = Seq("qs"))
+      val t1d = Rollup.reRollup(t1h, Seq("event_type"), "1h" -> "1d", quantileCols = Seq("qs"))
+      t1d.select(
+        col("event_type"),
+        col("bucket_ts"),
+        QuantileSketch.quantile(col("qs"), 0.5).as("p50"),
+        QuantileSketch.quantile(col("qs"), 0.95).as("p95")
+      )
+    }),
+
     // ---- webtext URL canonicalization + canonical-key dedup: the
     //      synthetic crawl serves each page under three deterministic
     //      disguises (upper-case host + default port + fragment;
@@ -1789,7 +1847,7 @@ object SparkEntry {
                  GROUP BY tok HAVING count(*) >= 0.78 * (SELECT count(*) FROM documents)),
          hl AS (SELECT coalesce(list(tok), []) AS hw FROM hot)
          SELECT doc_id,
-                array_to_string(list_filter(l, w -> NOT list_contains(hw, w)), ' ') AS clean_text,
+                coalesce(array_to_string(list_filter(l, w -> NOT list_contains(hw, w)), ' '), '') AS clean_text,
                 CAST(len(l) - len(list_filter(l, w -> NOT list_contains(hw, w))) AS BIGINT) AS n_removed
          FROM toks, hl""",
     // PII: identical inject expression, identical regexes (Java ∩ RE2
@@ -1809,6 +1867,47 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(atext, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
                 CAST(len(regexp_extract_all(atext, '555-[0-9]{4}')) AS BIGINT) AS n_phone
          FROM aug""",
+    // As-of join: DuckDB's native ASOF LEFT JOIN is the oracle — the
+    // engine's union+window plan must reproduce it row for row,
+    // including unmatched lefts and the exact-timestamp-tie match.
+    "q73_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, ts AS signup_ts, max(value) AS signup_value
+               FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_ts, s.signup_value
+         FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts""",
+    // Sessionization: identical lag-diff + running-sum replay; the
+    // 30-minute gap is 1_800_000_000 us on both sides.
+    "q74_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         x AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM o)
+         SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+         FROM x GROUP BY 1, 2""",
+    // Quantile tier sketch in exact mode: the state is the exact
+    // weighted value histogram, so the quantile rule (smallest value
+    // whose ascending cumulative weight reaches q x total) replays
+    // exactly. 0.5e0/0.95e0 force DOUBLE multiplication on the DuckDB
+    // side — the engine compares in double, and DuckDB would otherwise
+    // use exact DECIMAL literals at the cum == q x total boundary.
+    "q75_quantile_tiers" ->
+      """WITH g AS (SELECT event_type, date_trunc('day', ts) AS bucket_ts, value AS v, count(*) AS w
+                    FROM events GROUP BY 1, 2, 3),
+         c AS (SELECT event_type, bucket_ts, v,
+                 sum(w) OVER (PARTITION BY event_type, bucket_ts ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(w) OVER (PARTITION BY event_type, bucket_ts) AS tot
+               FROM g)
+         SELECT event_type, bucket_ts,
+                min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5e0 * CAST(tot AS DOUBLE) THEN v END) AS p50,
+                min(CASE WHEN CAST(cum AS DOUBLE) >= 0.95e0 * CAST(tot AS DOUBLE) THEN v END) AS p95
+         FROM c GROUP BY 1, 2""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges

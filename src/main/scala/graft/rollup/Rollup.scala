@@ -36,7 +36,9 @@ object Rollup {
       langCol: Option[String] = None,
       sketches: Map[String, Column] = Map.empty,
       topk: Map[String, Column] = Map.empty,
-      topkCapacity: Int = 128
+      topkCapacity: Int = 128,
+      quantiles: Map[String, Column] = Map.empty,
+      quantileCapacity: Int = 4096
   ): DataFrame = {
     val keys = series.map(col) :+ Tiers.bucket(col(tsCol), tier).as("bucket_ts")
     val base: Seq[Column] =
@@ -50,7 +52,12 @@ object Rollup {
         sketches.toSeq.sortBy(_._1).map { case (n, c) => hll_sketch_agg(c).as(n) } ++:
         // SpaceSaving heavy-hitter sketches (TopK): mergeable the same
         // way; exact below `topkCapacity` distinct items per state
-        topk.toSeq.sortBy(_._1).map { case (n, c) => TopK.sketch(c, topkCapacity).as(n) }
+        topk.toSeq.sortBy(_._1).map { case (n, c) => TopK.sketch(c, topkCapacity).as(n) } ++:
+        // quantile sketches: exact weighted value histogram below
+        // `quantileCapacity` distinct values, equi-weight t-digest above
+        quantiles.toSeq.sortBy(_._1).map { case (n, c) =>
+          QuantileSketch.sketch(c, quantileCapacity).as(n)
+        }
     langCol match {
       case None =>
         df.groupBy(keys: _*).agg(base.head, base.tail: _*)
@@ -71,7 +78,10 @@ object Rollup {
             sum("byte_size").as("byte_size") +:
             valueSums.keys.toSeq.sorted.map(n => sum(col(n)).as(n)) ++:
             sketches.keys.toSeq.sorted.map(n => hll_union_agg(col(n)).as(n)) ++:
-            topk.keys.toSeq.sorted.map(n => TopK.mergeSketch(col(n), topkCapacity).as(n)) :+
+            topk.keys.toSeq.sorted.map(n => TopK.mergeSketch(col(n), topkCapacity).as(n)) ++:
+            quantiles.keys.toSeq.sorted.map(n =>
+              QuantileSketch.mergeSketch(col(n), quantileCapacity).as(n)
+            ) :+
             map_from_entries(
               array_sort(collect_list(struct(col("__lang"), col("point_count"))))
             ).as("lang_hist")
@@ -88,7 +98,9 @@ object Rollup {
       fromTo: (String, String),
       sketchCols: Seq[String] = Seq.empty,
       topkCols: Seq[String] = Seq.empty,
-      topkCapacity: Int = 128
+      topkCapacity: Int = 128,
+      quantileCols: Seq[String] = Seq.empty,
+      quantileCapacity: Int = 4096
   ): DataFrame = {
     val (_, to) = fromTo
     val hasHist = tierDf.columns.contains("lang_hist")
@@ -97,11 +109,13 @@ object Rollup {
       .filterNot(Seq("bucket_ts", "lang_hist").contains)
       .filterNot(sketchCols.contains)
       .filterNot(topkCols.contains)
+      .filterNot(quantileCols.contains)
     val keys = series.map(col) :+ Tiers.bucket(col("bucket_ts"), to).as("bucket_ts")
     if (!hasHist) {
       val aggs = measureCols.map(c => sum(col(c)).as(c)) ++
         sketchCols.map(c => hll_union_agg(col(c)).as(c)) ++
-        topkCols.map(c => TopK.mergeSketch(col(c), topkCapacity).as(c))
+        topkCols.map(c => TopK.mergeSketch(col(c), topkCapacity).as(c)) ++
+        quantileCols.map(c => QuantileSketch.mergeSketch(col(c), quantileCapacity).as(c))
       tierDf.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     } else {
       val exploded = tierDf.select(
@@ -113,7 +127,8 @@ object Rollup {
       // and histogram in two branches and join on the keys
       val measureAggs = measureCols.map(c => sum(col(c)).as(c)) ++
         sketchCols.map(c => hll_union_agg(col(c)).as(c)) ++
-        topkCols.map(c => TopK.mergeSketch(col(c), topkCapacity).as(c))
+        topkCols.map(c => TopK.mergeSketch(col(c), topkCapacity).as(c)) ++
+        quantileCols.map(c => QuantileSketch.mergeSketch(col(c), quantileCapacity).as(c))
       val measures = tierDf
         .groupBy(keys: _*)
         .agg(measureAggs.head, measureAggs.tail: _*)
