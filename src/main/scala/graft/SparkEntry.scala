@@ -793,6 +793,36 @@ object SparkEntry {
       )
     }),
 
+    // ---- counter increase/rate (Prometheus reset semantics): per
+    //      (user, day) sum of the positive counter deltas, a drop
+    //      restarting the count — one exchange on user_id; the bucket
+    //      reduce reuses that clustering (no second shuffle) ----
+    "q76_counter_rate" -> ((s, dir) => {
+      graft.rollup.RateOps.increase(
+        t(s, dir, "events"),
+        Seq("user_id"),
+        "ts",
+        "value",
+        "1d",
+        tieBreak = "event_id"
+      )
+    }),
+
+    // ---- time-weighted average per (event_type, hour): each sample
+    //      LOCF-holds to the next in its bucket, the last to the
+    //      bucket end; fixed-point value x micros products make the
+    //      weighted sum merge-order-free (hash-exact in DuckDB) ----
+    "q77_time_weighted_avg" -> ((s, dir) => {
+      graft.rollup.RateOps.timeWeightedAvg(
+        t(s, dir, "events"),
+        Seq("event_type"),
+        "ts",
+        "value",
+        "1h",
+        tieBreak = "event_id"
+      )
+    }),
+
     // ---- webtext URL canonicalization + canonical-key dedup: the
     //      synthetic crawl serves each page under three deterministic
     //      disguises (upper-case host + default port + fragment;
@@ -1908,6 +1938,44 @@ object SparkEntry {
                 min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5e0 * CAST(tot AS DOUBLE) THEN v END) AS p50,
                 min(CASE WHEN CAST(cum AS DOUBLE) >= 0.95e0 * CAST(tot AS DOUBLE) THEN v END) AS p95
          FROM c GROUP BY 1, 2""",
+    // Counter increase (Prometheus reset rule) replayed with the same
+    // lag + conditional: double subtraction is bit-deterministic per
+    // row, the per-bucket sum runs in fixed point on both sides, and
+    // rate divides by the same double literal.
+    "q76_counter_rate" ->
+      """WITH d AS (SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         c AS (SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+                 CASE WHEN prev IS NULL THEN NULL
+                      WHEN value >= prev THEN value - prev
+                      ELSE value END AS delta
+               FROM d)
+         SELECT user_id, bucket_ts,
+                CAST(coalesce(sum(CAST(round(delta, 6) AS DECIMAL(28,6))), 0) AS DOUBLE) AS increase,
+                CAST(coalesce(sum(CAST(round(delta, 6) AS DECIMAL(28,6))), 0) AS DOUBLE) / 86400e0 AS rate_per_sec,
+                count(delta) AS n_deltas
+         FROM c GROUP BY 1, 2""",
+    // Time-weighted average: identical LOCF weights (lead within the
+    // bucket, else bucket end) and the identical decimal(16,6) x
+    // decimal(14,0) fixed-point products, so the weighted sum is
+    // hash-exact despite double outputs. The numerator goes
+    // decimal -> VARCHAR -> DOUBLE: above 2^53 DuckDB's direct
+    // decimal->double cast is off by an ulp (int128 * 1e-6 in double),
+    // while string parsing — like Spark's BigDecimal cast — rounds
+    // correctly.
+    "q77_time_weighted_avg" ->
+      """WITH b AS (SELECT event_type, ts, event_id, value, date_trunc('hour', ts) AS bucket_ts
+                    FROM events),
+         w AS (SELECT *, coalesce(
+                   epoch_us(lead(ts) OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id)),
+                   epoch_us(bucket_ts + INTERVAL 1 HOUR)) - epoch_us(ts) AS w_us
+               FROM b)
+         SELECT event_type, bucket_ts,
+                CAST(CAST(sum(CAST(round(value, 6) AS DECIMAL(16,6)) * CAST(w_us AS DECIMAL(14,0))) AS VARCHAR) AS DOUBLE)
+                  / CAST(sum(w_us) AS DOUBLE) AS twa,
+                CAST(sum(w_us) AS BIGINT) AS covered_us
+         FROM w GROUP BY 1, 2""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges

@@ -46,6 +46,18 @@ object Tiers {
     case other => throw new IllegalArgumentException(s"unknown tier $other")
   }
 
+  /** Fixed bucket width in seconds (exact under the engine's pinned
+    * UTC session timezone — no DST, so calendar buckets have fixed
+    * width too).
+    */
+  def widthSeconds(tier: String): Long = tier match {
+    case "1m"  => 60L
+    case "1h"  => 3600L
+    case "1d"  => 86400L
+    case "30d" => ThirtyDaysSec
+    case other => throw new IllegalArgumentException(s"unknown tier $other")
+  }
+
   /** Spine step for gap-fill at a tier. */
   def interval(tier: String): String = tier match {
     case "1m"  => "interval 1 minute"
