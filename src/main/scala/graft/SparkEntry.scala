@@ -823,6 +823,29 @@ object SparkEntry {
       )
     }),
 
+    // ---- retention enforcement: the fine tiers keep a short date
+    //      window (1m: 10 days, 1h: 20 days as of the newest event
+    //      day), expired PARTITION DIRS drop without reading a row,
+    //      the kept range still reads consistently ----
+    "q78_retention" -> ((s, dir) => {
+      val root = "/tmp/graft_q78/src"
+      val tiers = "/tmp/graft_q78/tiers"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q78")
+      val ev = t(s, dir, "events")
+      graft.snapshot.SnapshotStore.append(root, ev, tsCol = Some("ts"))
+      graft.snapshot.ContinuousRollup.update(s, root, tiers, Seq("event_type"), "ts", lit(0L))
+      val asOf = ev.agg(max(to_date(col("ts")))).collect()(0).getDate(0).toLocalDate
+      val res = graft.snapshot.Retention
+        .enforce(s, tiers, Map("1m" -> 10, "1h" -> 20), asOf)
+        .map(r => r.tier -> r.partsDropped)
+        .toMap
+      graft.snapshot.ContinuousRollup
+        .readTier(s, tiers, "1h")
+        .select(col("event_type"), col("bucket_ts"), col("point_count"))
+        .withColumn("parts_dropped_1m", lit(res("1m")))
+        .withColumn("parts_dropped_1h", lit(res("1h")))
+    }),
+
     // ---- webtext URL canonicalization + canonical-key dedup: the
     //      synthetic crawl serves each page under three deterministic
     //      disguises (upper-case host + default port + fragment;
@@ -1976,6 +1999,20 @@ object SparkEntry {
                   / CAST(sum(w_us) AS DOUBLE) AS twa,
                 CAST(sum(w_us) AS BIGINT) AS covered_us
          FROM w GROUP BY 1, 2""",
+    // Retention: the kept 1h range is a date filter (newest event day
+    // minus 19), the dropped-partition counts are the distinct event
+    // days older than each tier's cutoff — both pure SQL over events.
+    "q78_retention" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+         d1m AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS n FROM events, mx
+                 WHERE CAST(ts AS DATE) < mx.d - 9),
+         d1h AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS n FROM events, mx
+                 WHERE CAST(ts AS DATE) < mx.d - 19)
+         SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS point_count,
+                d1m.n AS parts_dropped_1m, d1h.n AS parts_dropped_1h
+         FROM events, mx, d1m, d1h
+         WHERE CAST(ts AS DATE) >= mx.d - 19
+         GROUP BY 1, 2, 4, 5""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
