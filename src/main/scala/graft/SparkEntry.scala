@@ -846,6 +846,40 @@ object SparkEntry {
         .withColumn("parts_dropped_1h", lit(res("1h")))
     }),
 
+    // ---- M4 visual downsample (VLDB'14): per (event_type, hour) the
+    //      four points line rendering needs — first/last by time,
+    //      argmin/argmax by value with lexicographic tie rules — as a
+    //      single partial-aggregated struct min/max groupBy ----
+    "q79_m4_downsample" -> ((s, dir) => {
+      graft.rollup.Downsample.m4(
+        t(s, dir, "events"),
+        Seq("event_type"),
+        "ts",
+        "value",
+        "1h",
+        tieBreak = "event_id"
+      )
+    }),
+
+    // ---- rolling z-score anomaly scoring: each event scored against
+    //      the exact fixed-point moments of its series' previous 20
+    //      points — one exchange + sort, bit-reproducible double tree
+    //      over exact decimal sums ----
+    "q80_rolling_zscore" -> ((s, dir) => {
+      graft.rollup.Anomaly
+        .rollingZ(
+          t(s, dir, "events"),
+          Seq("event_type"),
+          "ts",
+          "value",
+          tieBreak = "event_id",
+          lookback = 20,
+          minPoints = 10,
+          threshold = 3.0
+        )
+        .select("event_id", "event_type", "ts", "value", "z", "is_anomaly")
+    }),
+
     // ---- webtext URL canonicalization + canonical-key dedup: the
     //      synthetic crawl serves each page under three deterministic
     //      disguises (upper-case host + default port + fragment;
@@ -2013,6 +2047,50 @@ object SparkEntry {
          FROM events, mx, d1m, d1h
          WHERE CAST(ts AS DATE) >= mx.d - 19
          GROUP BY 1, 2, 4, 5""",
+    // M4 replay: each extremum is the row_number()=1 row under the
+    // operator's exact lexicographic tie order (min/first break ties
+    // earliest, max/last latest).
+    "q79_m4_downsample" ->
+      """WITH b AS (SELECT event_type, ts, event_id, value, date_trunc('hour', ts) AS bucket_ts
+                    FROM events),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts DESC, event_id DESC) AS rl,
+             row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY value, ts, event_id) AS rmin,
+             row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY value DESC, ts DESC, event_id DESC) AS rmax
+           FROM b)
+         SELECT event_type, bucket_ts,
+                max(CASE WHEN rf = 1 THEN ts END) AS first_ts,
+                max(CASE WHEN rf = 1 THEN value END) AS first_v,
+                max(CASE WHEN rmin = 1 THEN ts END) AS min_ts,
+                max(CASE WHEN rmin = 1 THEN value END) AS min_v,
+                max(CASE WHEN rmax = 1 THEN ts END) AS max_ts,
+                max(CASE WHEN rmax = 1 THEN value END) AS max_v,
+                max(CASE WHEN rl = 1 THEN ts END) AS last_ts,
+                max(CASE WHEN rl = 1 THEN value END) AS last_v,
+                count(*) AS n_points
+         FROM r GROUP BY 1, 2""",
+    // Rolling z-score: the window moments are exact decimals (VARCHAR-
+    // mediated double casts — see q77), and the z expression tree is
+    // replayed with identical operation order, so doubles match
+    // bit-for-bit.
+    "q80_rolling_zscore" ->
+      """WITH w AS (SELECT event_id, event_type, ts, value,
+             count(value) OVER win AS cnt,
+             CAST(CAST(sum(CAST(round(value, 6) AS DECIMAL(16,6))) OVER win AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(sum(CAST(CAST(round(value, 6) AS DECIMAL(16,6)) * CAST(round(value, 6) AS DECIMAL(16,6)) AS DECIMAL(33,12))) OVER win AS VARCHAR) AS DOUBLE) AS s2
+           FROM events
+           WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT event_id, event_type, ts, value,
+                 CASE WHEN cnt >= 10 AND (s2 - s1 * s1 / CAST(cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) > 0
+                      THEN (value - s1 / CAST(cnt AS DOUBLE))
+                             / sqrt((s2 - s1 * s1 / CAST(cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+                 END AS z
+               FROM w)
+         SELECT event_id, event_type, ts, value, z,
+                CASE WHEN z IS NOT NULL THEN abs(z) > 3e0 END AS is_anomaly
+         FROM z""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
