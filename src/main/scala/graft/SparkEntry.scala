@@ -880,6 +880,51 @@ object SparkEntry {
         .select("event_id", "event_type", "ts", "value", "z", "is_anomaly")
     }),
 
+    // ---- interval-point overlap join: purchase sessions (q74's
+    //      operator) pick up the clicks they contain — replicated into
+    //      1h epochs, EQUI-joined on (user, epoch), residual-filtered;
+    //      never the per-key cartesian Spark would otherwise plan ----
+    "q81_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sess = graft.operators.Sessionize
+        .sessions(
+          ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+          Seq("user_id"),
+          "ts",
+          gapMicros = 30L * 60 * 1000000,
+          tieBreak = "event_id"
+        )
+        // ±6h attribution window around each purchase session
+        .select(
+          col("user_id"),
+          col("session_idx"),
+          (col("session_start") - expr("interval 6 hours")).as("win_start"),
+          (col("session_end") + expr("interval 6 hours")).as("win_end")
+        )
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.IntervalJoin
+        .overlap(sess, clicks, Seq("user_id"), "win_start", "win_end", "ts", epochSeconds = 3600)
+    }),
+
+    // ---- deterministic stratified hash sampling: per-language
+    //      balancing of the crawl corpus (en down to 10%, others 60%)
+    //      via the portable md5 threshold — stable under partitioning,
+    //      retries, and AQE, so the oracle replays it exactly ----
+    "q82_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling
+        .stratifiedSampleBy(
+          t(s, dir, "documents"),
+          "doc_id",
+          "lang",
+          Map("en" -> 0.1),
+          defaultFraction = 0.6,
+          salt = "graft"
+        )
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // ---- webtext URL canonicalization + canonical-key dedup: the
     //      synthetic crawl serves each page under three deterministic
     //      disguises (upper-case host + default port + fragment;
@@ -2091,6 +2136,34 @@ object SparkEntry {
          SELECT event_id, event_type, ts, value, z,
                 CASE WHEN z IS NOT NULL THEN abs(z) > 3e0 END AS is_anomaly
          FROM z""",
+    // Interval join: q74's sessionization replay builds the purchase
+    // sessions, then a plain SQL range join — the engine's epoch
+    // replication + residual filter must reproduce it pair for pair.
+    "q81_interval_join" ->
+      """WITH o AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+         n AS (SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         x AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM n),
+         sess AS (SELECT user_id, session_idx,
+                    min(ts) - INTERVAL 6 HOUR AS win_start,
+                    max(ts) + INTERVAL 6 HOUR AS win_end
+                  FROM x GROUP BY 1, 2)
+         SELECT s.user_id, s.session_idx, s.win_start, s.win_end, c.event_id, c.ts
+         FROM sess s JOIN events c
+           ON c.event_type = 'click' AND c.user_id = s.user_id
+          AND c.ts BETWEEN s.win_start AND s.win_end""",
+    // Stratified hash sample: the identical md5-threshold draw (u =
+    // first 15 md5 hex digits / 16^15, compared in double) with the
+    // identical per-stratum fraction ladder.
+    "q82_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft'), 1, 15)) AS BIGINT) AS DOUBLE)
+                 / 1152921504606846976e0
+               < CASE WHEN lang = 'en' THEN 0.1e0 ELSE 0.6e0 END""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
