@@ -925,6 +925,23 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // ---- Spark-native session_window (batch form of the streaming
+    //      session operator): windows merge while events fall STRICTLY
+    //      inside gap (split at diff >= gap — one boundary tighter
+    //      than q74's lag-diff operator, which splits at > gap), and
+    //      window end = last event + gap ----
+    "q83_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events")
+        )
+    }),
+
     // ---- webtext URL canonicalization + canonical-key dedup: the
     //      synthetic crawl serves each page under three deterministic
     //      disguises (upper-case host + default port + fragment;
@@ -2164,6 +2181,21 @@ object SparkEntry {
          WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft'), 1, 15)) AS BIGINT) AS DOUBLE)
                  / 1152921504606846976e0
                < CASE WHEN lang = 'en' THEN 0.1e0 ELSE 0.6e0 END""",
+    // session_window replay: split at diff >= gap (the native
+    // operator's boundary — strict-overlap window merging), end =
+    // last event + gap.
+    "q83_session_window" ->
+      """WITH o AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         x AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx FROM o)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events
+         FROM x GROUP BY user_id, sidx""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
