@@ -300,6 +300,17 @@ object SparkEntry {
         .select("id_a", "id_b", "est_jaccard")
     }),
 
+    // ---- near-dup cluster formation: the q22 MinHash-LSH pairs
+    //      become connected components (hash-min label propagation,
+    //      one shuffle per round, loud non-convergence guard) and a
+    //      keep/drop decision per doc (canonical = smallest id) ----
+    "q84_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup
+        .minHashLsh(t(s, dir, "documents"), "doc_id", "text")
+        .select("id_a", "id_b")
+      graft.dedup.Clusters.dedupDecision(pairs, "id_a", "id_b")
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2196,6 +2207,23 @@ object SparkEntry {
                 max(ts) + INTERVAL 30 MINUTE AS session_end,
                 count(*) AS n_events
          FROM x GROUP BY user_id, sidx""",
+    // Cluster formation: the same LSH CTE chain feeds a RECURSIVE
+    // transitive closure (component = min reachable id) — an
+    // independent fixpoint implementation checking the engine's
+    // label-propagation rounds.
+    "q84_dedup_clusters" -> {
+      val lshCtes = minHashLshBatchSql
+        .substring(0, minHashLshBatchSql.lastIndexOf("SELECT id_a"))
+        .trim
+      s"""${lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         reach(id, w) AS (SELECT a, a FROM e
+                          UNION
+                          SELECT r.id, e2.b FROM reach r JOIN e e2 ON r.w = e2.a)
+         SELECT id, min(w) AS component, (id = min(w)) AS is_canonical
+         FROM reach GROUP BY id"""
+    },
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
