@@ -20,10 +20,13 @@ object QBench {
     val reps = if (args.length > 1) args(1).toInt else 2
     args(0).split(",").foreach { name =>
       val fn = SparkEntry.queries(name)
+      // SPARK_GRAFT_QBENCH_NOOP=1: noop-sink like graft.Bench (computes
+      // EVERY output column; count() lets Catalyst prune projections)
+      val noop = sys.env.getOrElse("SPARK_GRAFT_QBENCH_NOOP", "0") == "1"
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
         val out = fn(spark, sfDir)
-        val n = out.count()
+        val n = if (noop) { Bench.noopRun(out); -1L } else out.count()
         val sec = (System.nanoTime() - t0) / 1e9
         out.unpersist()
         println(f"[qbench] $name rep$i: $sec%.2f s ($n rows)")

@@ -102,21 +102,32 @@ object QuantileSketch {
     * state stays a plain map any engine can query): ascending walk of
     * the centroids, first one whose cumulative weight reaches
     * `q × total`.
+    *
+    * The `q × total` target rides INSIDE the fold accumulator: a HOF
+    * lambda that references an outer expression INLINES it, so putting
+    * the target (itself a fold over the entries) in the lambda body
+    * re-computes the total-weight aggregation at EVERY fold step —
+    * O(n²) interpreted work per row that turned a 6 s query into 80 s
+    * at sf0.1. In the zero expression it evaluates once per row.
     */
   def quantile(state: Column, q: Double): Column = {
     val entries = array_sort(map_entries(state)) // struct sort: key ascending
     val total = aggregate(entries, lit(0L), (acc, e) => acc + e.getField("value"))
-    val target = lit(q) * total.cast("double")
     aggregate(
       entries,
-      struct(lit(0L).as("cum"), lit(null).cast("double").as("ans")),
+      struct(
+        lit(0L).as("cum"),
+        lit(null).cast("double").as("ans"),
+        (lit(q) * total.cast("double")).as("target")
+      ),
       (acc, e) => {
         val cum2 = acc.getField("cum") + e.getField("value")
         struct(
           cum2.as("cum"),
-          when(acc.getField("ans").isNull && cum2.cast("double") >= target, e.getField("key"))
+          when(acc.getField("ans").isNull && cum2.cast("double") >= acc.getField("target"), e.getField("key"))
             .otherwise(acc.getField("ans"))
-            .as("ans")
+            .as("ans"),
+          acc.getField("target").as("target")
         )
       },
       acc => acc.getField("ans")
