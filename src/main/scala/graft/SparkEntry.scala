@@ -311,6 +311,20 @@ object SparkEntry {
       graft.dedup.Clusters.dedupDecision(pairs, "id_a", "id_b")
     }),
 
+    // ---- token-budget corpus packing: per-language greedy prefix in
+    //      quality order until the stratum's token budget fills — one
+    //      window cumsum per stratum, no iteration ----
+    "q85_corpus_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.qualityScore("text").as("quality")
+      )
+      graft.text.CorpusPack
+        .packByBudget(d, "lang", "n_tokens", "quality", "doc_id", Map("en" -> 4000L), defaultBudget = 2500L)
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2223,6 +2237,18 @@ object SparkEntry {
                           SELECT r.id, e2.b FROM reach r JOIN e e2 ON r.w = e2.a)
          SELECT id, min(w) AS component, (id = min(w)) AS is_canonical
          FROM reach GROUP BY id"""
+    },
+    // Corpus packing: q17's quality CTE feeds the identical
+    // quality-desc/doc-id window cumsum and per-language budget ladder.
+    "q85_corpus_pack" -> {
+      s"""WITH q AS ($qualitySql),
+         j AS (SELECT d.doc_id, d.lang, q.n_tokens, q.quality
+               FROM documents d JOIN q ON q.doc_id = d.doc_id),
+         c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+                                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM j)
+         SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality, cum_tokens FROM c
+         WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 4000 ELSE 2500 END"""
     },
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
