@@ -325,6 +325,23 @@ object SparkEntry {
         .packByBudget(d, "lang", "n_tokens", "quality", "doc_id", Map("en" -> 4000L), defaultBudget = 2500L)
     }),
 
+    // ---- cross-series Pearson correlation: which metric series move
+    //      together — hourly fixed-point bucket sums, pair co-moments
+    //      in decimal(38,0), the final corr the only float step (all
+    //      its inputs exact integers, so bit-reproducible) ----
+    "q86_metric_corr" -> ((s, dir) => {
+      graft.rollup.Correlate
+        .pairwisePearson(t(s, dir, "events"), "event_type", "ts", "value", "hour")
+    }),
+
+    // ---- fixed-width value histogram with Prometheus-style cumulative
+    //      counts: one partial-aggregated exchange on (series, bin),
+    //      then a per-series window over the handful of occupied bins —
+    //      all-integer, hash-exact ----
+    "q87_value_histogram" -> ((s, dir) => {
+      graft.rollup.Histogram.fixedWidth(t(s, dir, "events"), "event_type", "value", 50.0)
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2250,6 +2267,41 @@ object SparkEntry {
          SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality, cum_tokens FROM c
          WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 4000 ELSE 2500 END"""
     },
+    // Pearson replay: identical micro-unit bucket sums, identical
+    // integer co-moments (HUGEINT here, decimal(38,0) in the engine),
+    // and the identical double formula over them. The three co-moment
+    // combinations go int -> VARCHAR -> DOUBLE (DuckDB's direct
+    // int128->double cast misrounds above 2^53; string parse rounds
+    // correctly, like Spark's BigDecimal cast).
+    "q86_metric_corr" ->
+      """WITH h AS (SELECT event_type AS series, date_trunc('hour', ts) AS bucket_ts,
+                sum(CAST(CAST(round(value, 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT)) AS vi
+              FROM events GROUP BY 1, 2),
+         p AS (SELECT a.series AS type_a, b.series AS type_b,
+                 CAST(a.vi AS HUGEINT) AS x, CAST(b.vi AS HUGEINT) AS y
+               FROM h a JOIN h b USING (bucket_ts)
+               WHERE a.series < b.series),
+         s AS (SELECT type_a, type_b, count(*) AS n_buckets,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+               FROM p GROUP BY 1, 2)
+         SELECT type_a, type_b, n_buckets,
+                CASE WHEN (n_buckets*sxx - sx*sx) > 0 AND (n_buckets*syy - sy*sy) > 0
+                     THEN CAST(CAST(n_buckets*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+                          / (sqrt(CAST(CAST(n_buckets*sxx - sx*sx AS VARCHAR) AS DOUBLE))
+                             * sqrt(CAST(CAST(n_buckets*syy - sy*sy AS VARCHAR) AS DOUBLE)))
+                     END AS corr
+         FROM s WHERE n_buckets >= 2""",
+    // Histogram replay: floor(value / width) over doubles is IEEE
+    // bit-identical, everything else is integer counts.
+    "q87_value_histogram" ->
+      """WITH c AS (SELECT event_type AS series, CAST(floor(value / 50e0) AS BIGINT) AS bin,
+                count(*) AS n
+              FROM events GROUP BY 1, 2)
+         SELECT series, bin, CAST(bin AS DOUBLE) * 50e0 AS bin_lo,
+                CAST(bin + 1 AS DOUBLE) * 50e0 AS bin_hi, n,
+                CAST(sum(n) OVER (PARTITION BY series ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+         FROM c""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges

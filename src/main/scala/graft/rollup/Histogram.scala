@@ -1,0 +1,46 @@
+package graft.rollup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-width value histograms per series, with cumulative counts —
+  * the Prometheus classic-histogram shape (each bucket also reports
+  * the count of everything at or below it), computed exactly from the
+  * raw stream instead of pre-declared `le` bucket bounds.
+  *
+  * Everything is integer arithmetic over a deterministic bin id
+  * (`floor(value / width)` — IEEE divide + floor is bit-identical
+  * across engines), so results are hash-exact.
+  *
+  * Scale shape: one partial-aggregated exchange on (series, bin) —
+  * map-side combine collapses the raw points to at most
+  * (#series x #occupied-bins) rows before the wire. The cumulative
+  * window then runs over those few rows per series (bins are bounded
+  * by value range / width, not by data volume), so the sort inside
+  * each window partition is trivial at any corpus size.
+  */
+object Histogram {
+
+  /** @return (series, bin, bin_lo, bin_hi, n, cum_n) sorted semantics:
+    *         cum_n = total points of this series in bins <= bin.
+    */
+  def fixedWidth(df: DataFrame, seriesCol: String, valueCol: String, width: Double): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    val bin = floor(col(valueCol) / lit(width)).cast("long")
+    val counts = df
+      .groupBy(col(seriesCol).as("series"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val cum = Window
+      .partitionBy("series")
+      .orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.select(
+      col("series"),
+      col("bin"),
+      (col("bin").cast("double") * lit(width)).as("bin_lo"),
+      ((col("bin") + 1).cast("double") * lit(width)).as("bin_hi"),
+      col("n"),
+      sum(col("n")).over(cum).as("cum_n"))
+  }
+}

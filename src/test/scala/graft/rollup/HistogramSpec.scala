@@ -1,0 +1,45 @@
+package graft.rollup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def values = Seq(
+    ("a", 0.0), ("a", 4.9), ("a", 5.0), ("a", 12.0), ("a", -0.1),
+    ("b", 7.5)
+  ).toDF("series", "value")
+
+  test("fixedWidth bins on floor(value/width) with half-open [lo, hi) edges") {
+    val got = Histogram
+      .fixedWidth(values, "series", "value", 5.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == Map(
+      ("a", -1L) -> ((-5.0, 0.0, 1L, 1L)),  // -0.1 falls below zero
+      ("a", 0L) -> ((0.0, 5.0, 2L, 3L)),    // 0.0 and 4.9; 5.0 is the NEXT bin
+      ("a", 1L) -> ((5.0, 10.0, 1L, 4L)),
+      ("a", 2L) -> ((10.0, 15.0, 1L, 5L)),
+      ("b", 1L) -> ((5.0, 10.0, 1L, 1L))
+    ))
+  }
+
+  test("cum_n is per-series and reaches the series total in the top bin") {
+    val rows = Histogram.fixedWidth(values, "series", "value", 5.0)
+    val tops = rows
+      .groupBy("series")
+      .agg(max("cum_n").as("top"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(tops == Map("a" -> 5L, "b" -> 1L))
+  }
+
+  test("zero or negative width is rejected") {
+    intercept[IllegalArgumentException] {
+      Histogram.fixedWidth(values, "series", "value", 0.0)
+    }
+  }
+}
