@@ -342,6 +342,37 @@ object SparkEntry {
       graft.rollup.Histogram.fixedWidth(t(s, dir, "events"), "event_type", "value", 50.0)
     }),
 
+    // ---- bounded-lookback EWMA smoothing: Horner fold over each
+    //      sample's previous-8 window at alpha=0.5 (every decay step an
+    //      exact exponent shift, so the fold is bit-reproducible) ----
+    "q88_ewma" -> ((s, dir) => {
+      graft.rollup.Smooth
+        .ewma(t(s, dir, "events"), Seq("event_type"), "ts", "value", "event_id", lookback = 8)
+        .select("event_id", "event_type", "ts", "value", "ewma", "n_window")
+    }),
+
+    // ---- threshold alert with hold duration (Prometheus `for:`):
+    //      gaps-and-islands runs of above-threshold samples; a run
+    //      fires only when it spans >= 10 minutes ----
+    "q89_alert_for" -> ((s, dir) => {
+      graft.rollup.Alerts.thresholdFor(
+        t(s, dir, "events"),
+        Seq("event_type"),
+        "ts",
+        "value",
+        threshold = 250.0,
+        forMicros = 600000000L,
+        tieBreak = "event_id"
+      )
+    }),
+
+    // ---- histogram_quantile: p95 from q87's cumulative fixed-width
+    //      buckets, rank-interpolated inside the first covering bin ----
+    "q90_histogram_quantile" -> ((s, dir) => {
+      graft.rollup.Histogram
+        .histogramQuantile(t(s, dir, "events"), "event_type", "value", width = 50.0, q = 0.95)
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2302,6 +2333,54 @@ object SparkEntry {
                 CAST(sum(n) OVER (PARTITION BY series ORDER BY bin
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
          FROM c""",
+    // EWMA replay: DuckDB's window list() collects in frame order and
+    // list_reduce seeds with the first element — exactly the engine's
+    // first-element-init Horner fold; at alpha=0.5 both folds are
+    // bit-identical (decay multiplies are exponent shifts).
+    "q88_ewma" ->
+      """WITH w AS (SELECT event_id, event_type, ts, value,
+                list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+              FROM events)
+         SELECT event_id, event_type, ts, value,
+                list_reduce(vals, (acc, x) -> acc * 0.5e0 + x)
+                  / list_reduce(list_transform(vals, x -> 1e0), (acc, x) -> acc * 0.5e0 + 1e0) AS ewma,
+                CAST(len(vals) AS BIGINT) AS n_window
+         FROM w""",
+    // Alert replay: identical lag-based run starts, running-sum run
+    // ids, and the integer span test — all exact arithmetic.
+    "q89_alert_for" ->
+      """WITH o AS (SELECT event_type, ts, event_id, value,
+                CASE WHEN value > 250e0 THEN 1 ELSE 0 END AS c,
+                CASE WHEN value > 250e0 AND coalesce(lag(value > 250e0) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id), false) = false
+                     THEN 1 ELSE 0 END AS st
+              FROM events),
+         r AS (SELECT *, CAST(sum(st) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+               FROM o)
+         SELECT event_type, run_id, min(ts) AS run_start, max(ts) AS run_end,
+                count(*) AS n_samples,
+                (epoch_us(max(ts)) - epoch_us(min(ts))) >= 600000000 AS fired
+         FROM r WHERE c = 1 GROUP BY 1, 2""",
+    // histogram_quantile replay: q87's buckets + the identical one-
+    // product target and four-op interpolation; first covering bin via
+    // row_number over the bin order (= the engine's struct-min).
+    "q90_histogram_quantile" ->
+      """WITH c AS (SELECT event_type AS series, CAST(floor(value / 50e0) AS BIGINT) AS bin,
+                count(*) AS n
+              FROM events GROUP BY 1, 2),
+         h AS (SELECT series, bin, CAST(bin AS DOUBLE) * 50e0 AS bin_lo, n,
+                 CAST(sum(n) OVER (PARTITION BY series ORDER BY bin
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+               FROM c),
+         t AS (SELECT *, CAST(max(cum_n) OVER (PARTITION BY series) AS BIGINT) AS total_n FROM h),
+         p AS (SELECT *, 0.95e0 * CAST(total_n AS DOUBLE) AS target,
+                 row_number() OVER (PARTITION BY series ORDER BY bin) AS rn
+               FROM t WHERE CAST(cum_n AS DOUBLE) >= 0.95e0 * CAST(total_n AS DOUBLE))
+         SELECT series, total_n, bin,
+                bin_lo + 50e0 * (target - CAST(cum_n - n AS DOUBLE)) / CAST(n AS DOUBLE) AS quantile_est
+         FROM p WHERE rn = 1""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges

@@ -43,4 +43,46 @@ object Histogram {
       col("n"),
       sum(col("n")).over(cum).as("cum_n"))
   }
+
+  /** Prometheus `histogram_quantile` over [[fixedWidth]]'s buckets:
+    * the quantile lands in the first bin whose cumulative count covers
+    * `q * total`, linearly interpolated inside the bin (rank-based,
+    * like Prometheus — not a sample interpolation).
+    *
+    * Deterministic: bin choice is an integer comparison against the
+    * one double product `q * total` (exact inputs, one rounding), and
+    * the interpolation is a fixed four-op double expression over exact
+    * integers — bit-reproducible across engines.
+    *
+    * Scale shape: reuses the histogram's single exchange; the argmin
+    * over qualifying bins is a struct-min partial aggregate over the
+    * few occupied bins per series.
+    */
+  def histogramQuantile(
+      df: DataFrame,
+      seriesCol: String,
+      valueCol: String,
+      width: Double,
+      q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+    val hist = fixedWidth(df, seriesCol, valueCol, width)
+    val total = Window.partitionBy("series")
+    val withTarget = hist
+      .withColumn("total_n", max(col("cum_n")).over(total))
+      .withColumn("target", lit(q) * col("total_n").cast("double"))
+    // first qualifying bin = struct-min over (bin, payload) — one
+    // partial-aggregated groupBy, no second sort
+    val picked = withTarget
+      .filter(col("cum_n").cast("double") >= col("target"))
+      .groupBy("series")
+      .agg(min(struct(col("bin"), col("bin_lo"), col("n"), col("cum_n"), col("total_n"), col("target"))).as("s"))
+      .select(col("series"), col("s.*"))
+    picked.select(
+      col("series"),
+      col("total_n"),
+      col("bin"),
+      (col("bin_lo") +
+        lit(width) * (col("target") - (col("cum_n") - col("n")).cast("double")) / col("n").cast("double"))
+        .as("quantile_est"))
+  }
 }

@@ -42,4 +42,24 @@ class HistogramSpec extends SparkSpec {
       Histogram.fixedWidth(values, "series", "value", 0.0)
     }
   }
+
+  test("histogramQuantile: rank interpolation inside the first covering bin") {
+    val ten = (1 to 10).map(i => ("a", i.toDouble)).toDF("series", "value")
+    def est(q: Double) = Histogram
+      .histogramQuantile(ten, "series", "value", width = 2.0, q = q)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // q=0.5: target 5 -> bin 2 (cum 5, prev 3): 4 + 2*(5-3)/2 = 6
+    assert(est(0.5).toSeq == Seq(("a", 10L, 2L, 6.0)))
+    // q=0.9: target 9 -> bin 4 (cum 9, prev 7): 8 + 2*(9-7)/2 = 10
+    assert(est(0.9).toSeq == Seq(("a", 10L, 4L, 10.0)))
+    // q=1.0: target 10 -> top bin 5 (cum 10, prev 9): 10 + 2*(10-9)/1 = 12
+    assert(est(1.0).toSeq == Seq(("a", 10L, 5L, 12.0)))
+  }
+
+  test("histogramQuantile rejects out-of-range quantiles") {
+    intercept[IllegalArgumentException] {
+      Histogram.histogramQuantile(values, "series", "value", 5.0, q = 0.0)
+    }
+  }
 }
