@@ -373,6 +373,39 @@ object SparkEntry {
         .histogramQuantile(t(s, dir, "events"), "event_type", "value", width = 50.0, q = 0.95)
     }),
 
+    // ---- Z-order layout keys: 16-bit portable dimension hashes,
+    //      Morton-interleaved into one clustering key — range-writing
+    //      on z bounds BOTH dimensions per file, so equality predicates
+    //      on either prune files (multi-dim clustering at 100 TB) ----
+    "q91_zorder_key" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          ZOrder.hash16(col("user_id"), "zu").as("ha"),
+          ZOrder.hash16(col("event_type"), "zt").as("hb"))
+        .withColumn("z", ZOrder.zValue(col("ha"), col("hb")))
+    }),
+
+    // ---- latest-wins CDC merge (upsert + tombstone): per key ONE
+    //      struct-max partial aggregate — never a full-history window
+    //      sort, never a base-vs-changes join ----
+    "q92_upsert_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        col("value"),
+        lit(false).as("is_delete"))
+      val changes = ev
+        .filter(pmod(col("event_id"), lit(5)) === 0)
+        .withColumn("value", col("value") + 1000.0)
+        .withColumn("is_delete", pmod(col("event_id"), lit(25)) === 0)
+      graft.snapshot.Upsert.merge(ev, changes, Seq("user_id"), Seq("ts", "event_id"), "is_delete")
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2381,6 +2414,30 @@ object SparkEntry {
          SELECT series, total_n, bin,
                 bin_lo + 50e0 * (target - CAST(cum_n - n AS DOUBLE)) / CAST(n AS DOUBLE) AS quantile_est
          FROM p WHERE rn = 1""",
+    // Z-order replay: the portable md5 16-bit hashes plus the identical
+    // 32-term shift/mask interleave — pure integer arithmetic.
+    "q91_zorder_key" ->
+      """WITH h AS (SELECT event_id, user_id, event_type,
+                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|zu'), 1, 15)) AS BIGINT) & 65535 AS ha,
+                CAST(('0x' || substr(md5(event_type || '|zt'), 1, 15)) AS BIGINT) & 65535 AS hb
+              FROM events)
+         SELECT event_id, user_id, event_type, ha, hb,
+                CAST(list_sum(list_transform(generate_series(0, 15),
+                  i -> ((ha >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+                     + ((hb >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1)))) AS BIGINT) AS z
+         FROM h""",
+    // Upsert replay: the engine's struct-max total order (versions...,
+    // source, payload) is row_number() = 1 under the same DESC keys;
+    // (ts, event_id, src) is unique here so payload never breaks ties.
+    "q92_upsert_merge" ->
+      """WITH b AS (SELECT user_id, ts, event_id, value, false AS is_delete, 0 AS src FROM events),
+         c AS (SELECT user_id, ts, event_id, value + 1000e0 AS value,
+                 (event_id % 25 = 0) AS is_delete, 1 AS src
+               FROM events WHERE event_id % 5 = 0),
+         u AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC, src DESC) AS rn FROM u)
+         SELECT user_id, ts, event_id, value FROM r WHERE rn = 1 AND NOT is_delete""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
