@@ -406,6 +406,50 @@ object SparkEntry {
       graft.snapshot.Upsert.merge(ev, changes, Seq("user_id"), Seq("ts", "event_id"), "is_delete")
     }),
 
+    // ---- pairwise audience overlap per day: exact distinct
+    //      intersection + Jaccard between segments — distinct first
+    //      (collapses repeat activity), member-keyed self-join carries
+    //      member-segment rows, never raw events ----
+    "q93_audience_overlap" -> ((s, dir) => {
+      graft.rollup.Overlap.pairwise(t(s, dir, "events"), "event_type", "user_id", "ts", "day")
+    }),
+
+    // ---- ordered funnel: first in-order time each stage was reached
+    //      per user — one shared-spec window chain (one exchange +
+    //      sort) + a per-member reduce; stage k counts only after a
+    //      qualifying stage k-1 strictly earlier in (ts, id) order ----
+    "q94_funnel" -> ((s, dir) => {
+      graft.rollup.Funnel.ordered(
+        t(s, dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        Seq("view", "click", "purchase"),
+        "event_id")
+    }),
+
+    // ---- cohort retention matrix: members by first-activity day,
+    //      counted at each later activity offset — distinct first,
+    //      member-keyed cohort join, tiny (#days^2) output ----
+    "q95_cohort_retention" -> ((s, dir) => {
+      graft.rollup.Cohort.retention(t(s, dir, "events"), "user_id", "ts")
+    }),
+
+    // ---- Spark-native sliding (hopping) windows pinned against a SQL
+    //      oracle: every event lands in exactly span/slide = 4
+    //      epoch-aligned windows; counts + exact decimal sums ----
+    "q96_hopping_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(
+          col("w.start").as("win_start"),
+          col("w.end").as("win_end"),
+          col("event_type"),
+          col("n_events"),
+          col("sum_value"))
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2438,6 +2482,72 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC, src DESC) AS rn FROM u)
          SELECT user_id, ts, event_id, value FROM r WHERE rn = 1 AND NOT is_delete""",
+    // Overlap replay: distinct member-segment rows, self-join, exact
+    // counts; jaccard is one double division over exact integers.
+    "q93_audience_overlap" ->
+      """WITH m AS (SELECT DISTINCT date_trunc('day', ts) AS bucket_ts, event_type AS seg, user_id AS member
+              FROM events),
+         s AS (SELECT bucket_ts, seg, count(*) AS n FROM m GROUP BY 1, 2),
+         b AS (SELECT a.bucket_ts, a.seg AS seg_a, bb.seg AS seg_b, count(*) AS n_both
+               FROM m a JOIN m bb ON a.bucket_ts = bb.bucket_ts AND a.member = bb.member
+               WHERE a.seg < bb.seg GROUP BY 1, 2, 3)
+         SELECT b.bucket_ts, seg_a, seg_b,
+                CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+                CAST(n_both AS BIGINT) AS n_both,
+                CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE) AS jaccard
+         FROM b JOIN s sa ON sa.bucket_ts = b.bucket_ts AND sa.seg = seg_a
+                JOIN s sb ON sb.bucket_ts = b.bucket_ts AND sb.seg = seg_b""",
+    // Funnel replay: the identical shared-spec window chain (strictly-
+    // preceding frames) and per-user minima — pure timestamp/boolean
+    // arithmetic.
+    "q94_funnel" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type, (event_type = 'view') AS q0 FROM events),
+         s1 AS (SELECT *, min(CASE WHEN q0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen0 FROM o),
+         s2 AS (SELECT *, (event_type = 'click' AND seen0 IS NOT NULL) AS q1 FROM s1),
+         s3 AS (SELECT *, min(CASE WHEN q1 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen1 FROM s2),
+         s4 AS (SELECT *, (event_type = 'purchase' AND seen1 IS NOT NULL) AS q2 FROM s3),
+         g AS (SELECT user_id,
+                 min(CASE WHEN q0 THEN ts END) AS t_view,
+                 min(CASE WHEN q1 THEN ts END) AS t_click,
+                 min(CASE WHEN q2 THEN ts END) AS t_purchase
+               FROM s4 GROUP BY 1)
+         SELECT user_id, t_view, t_click, t_purchase,
+                CAST((t_view IS NOT NULL)::int + (t_click IS NOT NULL)::int
+                     + (t_purchase IS NOT NULL)::int AS BIGINT) AS stages_completed
+         FROM g""",
+    // Cohort replay: distinct member-days, min-day cohorts, the join
+    // back, and integer day offsets — the rate is one double division.
+    "q95_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS member, date_trunc('day', ts) AS activity_ts FROM events),
+         c AS (SELECT member, min(activity_ts) AS cohort_ts FROM a GROUP BY 1),
+         n AS (SELECT cohort_ts, date_diff('day', cohort_ts, activity_ts) AS day_offset,
+                 count(*) AS n_members
+               FROM a JOIN c USING (member) GROUP BY 1, 2)
+         SELECT cohort_ts, CAST(day_offset AS BIGINT) AS day_offset,
+                CAST(n_members AS BIGINT) AS n_members,
+                CAST(max(CASE WHEN day_offset = 0 THEN n_members END)
+                     OVER (PARTITION BY cohort_ts) AS BIGINT) AS cohort_size,
+                CAST(n_members AS DOUBLE)
+                  / CAST(max(CASE WHEN day_offset = 0 THEN n_members END)
+                         OVER (PARTITION BY cohort_ts) AS DOUBLE) AS retention
+         FROM n""",
+    // Hopping-window replay: each event belongs to exactly 4 epoch-
+    // aligned 15-minute-slide windows; integer micro arithmetic
+    // reconstructs the window bounds, sums ride the dsum recipe.
+    "q96_hopping_window" ->
+      s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+         w AS (SELECT event_type, value,
+                 (us // 900000000) * 900000000 - j * 900000000 AS win_us
+               FROM e, (SELECT unnest(generate_series(0, 3)) AS j)),
+         g AS (SELECT win_us, event_type, count(*) AS n_events,
+                 ${dsumSql("value")} AS sum_value
+               FROM w GROUP BY 1, 2)
+         SELECT make_timestamp(win_us) AS win_start,
+                make_timestamp(win_us + 3600000000) AS win_end,
+                event_type, n_events, sum_value
+         FROM g""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
