@@ -450,6 +450,39 @@ object SparkEntry {
           col("sum_value"))
     }),
 
+    // ---- multiwindow SLO burn rate (SRE error-budget alerting):
+    //      hour + day error-rate windows, alert only when BOTH burn
+    //      thresholds trip — exact count ratios, tiny day-side join ----
+    "q97_slo_burn" -> ((s, dir) => {
+      graft.rollup.Slo.burnRate(
+        t(s, dir, "events").withColumn("is_err", col("event_type") === "error"),
+        "ts",
+        "is_err",
+        budgetRate = 0.25,
+        shortThreshold = 1.5,
+        longThreshold = 1.2)
+    }),
+
+    // ---- Spark-native pivot pinned against a SQL oracle: daily
+    //      event-type count matrix with an EXPLICIT value list (no
+    //      driver-side distinct scan — the scale-correct pivot form) ----
+    "q98_pivot_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("bucket_ts"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na
+        .fill(0L)
+    }),
+
+    // ---- seasonal hour-of-week baselines: per-series expected value
+    //      at each of the 168 weekly hours — pure epoch integer
+    //      arithmetic (no calendar/locale), one exchange, #series x
+    //      168 output at any corpus size ----
+    "q99_seasonal_baseline" -> ((s, dir) => {
+      graft.rollup.Seasonal.baseline(t(s, dir, "events"), "event_type", "ts", "value")
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2548,6 +2581,40 @@ object SparkEntry {
                 make_timestamp(win_us + 3600000000) AS win_end,
                 event_type, n_events, sum_value
          FROM g""",
+    // Burn-rate replay: the identical hour/day ratios and the identical
+    // left-associated divide chain — exact integers until the last step.
+    "q97_slo_burn" ->
+      """WITH f AS (SELECT date_trunc('hour', ts) AS bucket_ts, date_trunc('day', ts) AS day_ts,
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err FROM events),
+         h AS (SELECT bucket_ts, day_ts, CAST(sum(is_err) AS BIGINT) AS n_errors, count(*) AS n_total
+               FROM f GROUP BY 1, 2),
+         d AS (SELECT day_ts, CAST(sum(is_err) AS BIGINT) AS d_errors, count(*) AS d_total
+               FROM f GROUP BY 1)
+         SELECT bucket_ts, n_errors, n_total,
+                CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE) / 0.25e0 AS burn_short,
+                CAST(d_errors AS DOUBLE) / CAST(d_total AS DOUBLE) / 0.25e0 AS burn_long,
+                (CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE) / 0.25e0 >= 1.5e0
+                 AND CAST(d_errors AS DOUBLE) / CAST(d_total AS DOUBLE) / 0.25e0 >= 1.2e0) AS alert
+         FROM h JOIN d USING (day_ts)""",
+    // Pivot replay: filtered counts per explicit value — count over an
+    // empty filter is 0, matching the engine's na.fill(0).
+    "q98_pivot_daily" ->
+      """SELECT date_trunc('day', ts) AS bucket_ts,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'view') AS view,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY 1""",
+    // Seasonal replay: the identical epoch hour-of-week index in
+    // integer micros and the identical dsum/count mean.
+    "q99_seasonal_baseline" ->
+      s"""WITH e AS (SELECT event_type AS series,
+                 (epoch_us(ts) // 3600000000) % 168 AS hour_of_week, value
+               FROM events)
+         SELECT series, CAST(hour_of_week AS BIGINT) AS hour_of_week, count(*) AS n,
+                ${dsumSql("value")} / CAST(count(*) AS DOUBLE) AS mean_value
+         FROM e GROUP BY 1, 2""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges

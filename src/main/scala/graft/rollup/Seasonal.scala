@@ -1,0 +1,41 @@
+package graft.rollup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Seasonal (hour-of-week) baselines: the per-series expected value at
+  * each of the 168 weekly hours — the "seasonal naive" forecasting
+  * baseline and the denominator of every "is this metric abnormal for
+  * a Tuesday 3am" check.
+  *
+  * The hour-of-week index is pure integer epoch arithmetic
+  * (`(us - us mod 3600e6) / 3600e6 mod 168`, hour 0 = the epoch's
+  * Thursday 00:00 UTC) — no calendar/locale functions whose week
+  * conventions differ across engines. Means are exact decimal sums
+  * over exact counts (one double division), so the baseline matrix is
+  * hash-exact.
+  *
+  * Shape: one partial-aggregated exchange on (series, hour-of-week);
+  * the output is #series x 168 rows regardless of corpus size.
+  */
+object Seasonal {
+
+  /** Epoch-hour index mod 168 (0 = Thursday 00:00 UTC). */
+  def hourOfWeek(ts: Column): Column = {
+    val us = unix_micros(ts.cast("timestamp"))
+    val hourIdx = ((us - pmod(us, lit(3600000000L))) / lit(3600000000.0)).cast("long")
+    pmod(hourIdx, lit(168L))
+  }
+
+  /** @return (series, hour_of_week, n, mean_value). */
+  def baseline(
+      df: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(seriesCol).as("series"), hourOfWeek(col(tsCol)).as("hour_of_week"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col(valueCol), 6).cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_value"))
+}
