@@ -483,6 +483,13 @@ object SparkEntry {
       graft.rollup.Seasonal.baseline(t(s, dir, "events"), "event_type", "ts", "value")
     }),
 
+    // ---- time-decayed heavy hitters: 1-day half-life leaderboard —
+    //      every weight an exact power of two, accumulated in integer
+    //      units of 2^-30 (no pow anywhere), as-of day broadcast ----
+    "q100_decayed_topk" -> ((s, dir) => {
+      graft.rollup.Decay.decayedCounts(t(s, dir, "events"), Seq("event_type"), "ts", horizonDays = 30)
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2615,6 +2622,18 @@ object SparkEntry {
          SELECT series, CAST(hour_of_week AS BIGINT) AS hour_of_week, count(*) AS n,
                 ${dsumSql("value")} / CAST(count(*) AS DOUBLE) AS mean_value
          FROM e GROUP BY 1, 2""",
+    // Decay replay: identical integer day ages, identical power-of-two
+    // unit weights via bigint shifts, one double division at the end
+    // (unit sums < 2^53 here, so the direct cast is exact).
+    "q100_decayed_topk" ->
+      """WITH mx AS (SELECT max(date_trunc('day', ts)) AS as_of FROM events),
+         a AS (SELECT event_type, date_diff('day', date_trunc('day', ts), as_of) AS age
+               FROM events, mx
+               WHERE date_diff('day', date_trunc('day', ts), as_of) <= 30)
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(1 AS BIGINT) << (30 - age)) AS BIGINT) AS decayed_units,
+                CAST(sum(CAST(1 AS BIGINT) << (30 - age)) AS DOUBLE) / 1073741824e0 AS decayed_score
+         FROM a GROUP BY 1""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges

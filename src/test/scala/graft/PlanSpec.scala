@@ -108,9 +108,11 @@ class PlanSpec extends SparkSpec {
     // broadcast-model or tiny-side joins where a nested-loop is the
     // right plan: brute-force/centroid crosses (exactness baselines),
     // literal-column broadcast model lookups, single-row evaluation
+    // q100: the as-of anchor is a 1-row broadcast cross join — a
+    // nested loop against one row IS the right plan
     val allowNlj = Set(
       "q15_ann_brute", "q28_ann_ivf", "q63_ann_ivf_kmeans", "q66_ann_pq", "q69_ann_ivf_pq",
-      "q35_embed_neardup", "q31_imputer", "q33_evaluate"
+      "q35_embed_neardup", "q31_imputer", "q33_evaluate", "q100_decayed_topk"
     )
     // row_id-keyed apply/overlay joins: both sides scale with the
     // table, so a shuffle join IS the 100-TB plan (full-outer overlay
