@@ -17,6 +17,27 @@ object QBench {
       // no-op in local mode
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_QBENCH_JOBS=1: log every Spark job (action) with its
+    // wall time — the direct way to see whether a query's cost is data
+    // or a chain of sequential driver actions.
+    if (sys.env.getOrElse("SPARK_GRAFT_QBENCH_JOBS", "0") == "1") {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          val desc = Option(j.properties).flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          val site = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')).getOrElse("")
+          val what = if (desc.nonEmpty) desc else site
+          starts.put(j.jobId, (System.nanoTime(), s"stages=${j.stageInfos.size} $what"))
+        }
+        override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+          Option(starts.remove(j.jobId)).foreach { case (t0, what) =>
+            val ms = (System.nanoTime() - t0) / 1e6
+            println(f"[job] #${j.jobId}%-4d $ms%8.1f ms  ${what.take(90)}")
+          }
+        }
+      })
+    }
     val reps = if (args.length > 1) args(1).toInt else 2
     args(0).split(",").foreach { name =>
       val fn = SparkEntry.queries(name)
