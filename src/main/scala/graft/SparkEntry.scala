@@ -490,6 +490,62 @@ object SparkEntry {
       graft.rollup.Decay.decayedCounts(t(s, dir, "events"), Seq("event_type"), "ts", horizonDays = 30)
     }),
 
+    // ---- train/eval contamination: word-3-gram containment of the
+    //      held-out split against the training split — one LEFT SEMI
+    //      join on the distinct train shingle set, integer-threshold
+    //      flag (the benchmark-leak detector every corpus release
+    //      runs) ----
+    "q101_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Contamination.ngramContainment(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id",
+        "text",
+        n = 3,
+        thresholdPct = 50
+      )
+    }),
+
+    // ---- inverted index: token -> sorted posting list as first id +
+    //      ascending gaps (the retrieval-index storage layout). The
+    //      SQL-replayable string form is checked here; the binary
+    //      DeltaCodec twin of the same longs is round-trip-pinned by
+    //      InvertedIndexSpec ----
+    "q102_inverted_index" -> ((s, dir) => {
+      graft.text.InvertedIndex
+        .postings(t(s, dir, "documents"), "doc_id", "text", minDf = 2)
+        .select("token", "df", "first_id", "gaps_csv")
+    }),
+
+    // ---- per-doc top-k keywords by an exact integer tf-idf
+    //      surrogate (tf * 1e6 div df), float-free ranking ----
+    "q103_tfidf_keywords" -> ((s, dir) => {
+      graft.text.Keywords.topKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
+    // ---- predict_linear: per-series least-squares forecast one hour
+    //      past the last observation — exact decimal co-moments, the
+    //      fit a per-series float epilogue (Prometheus alerting
+    //      primitive) ----
+    "q104_predict_linear" -> ((s, dir) => {
+      graft.rollup.Forecast
+        .predictLinear(t(s, dir, "events"), "event_type", "ts", "value", horizonSec = 3600L)
+    }),
+
+    // ---- edit-distance-1 similarity join via FastSS deletion
+    //      signatures: complete blocking (never-lossy), exact
+    //      levenshtein verify, no O(n^2) cross join ----
+    "q105_fuzzy_join" -> ((s, dir) => {
+      graft.dedup.FuzzyJoin
+        .editDistance1Pairs(
+          t(s, dir, "customer").select(col("c_custkey").as("id"), col("c_name").as("name")),
+          "id",
+          "name"
+        )
+        .withColumn("dist", col("dist").cast("long"))
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2634,6 +2690,82 @@ object SparkEntry {
                 CAST(sum(CAST(1 AS BIGINT) << (30 - age)) AS BIGINT) AS decayed_units,
                 CAST(sum(CAST(1 AS BIGINT) << (30 - age)) AS DOUBLE) / 1073741824e0 AS decayed_score
          FROM a GROUP BY 1""",
+    // Contamination replay: the q14 shingle CTE split into eval
+    // (doc_id % 10 = 0) and train sides, semi-join containment
+    // counts, identical integer threshold comparison.
+    "q101_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+                WHERE len(t) >= 3),
+         ev AS (SELECT * FROM sh WHERE id % 10 = 0),
+         tr AS (SELECT DISTINCT shingle FROM sh WHERE id % 10 <> 0),
+         tot AS (SELECT id, count(*) AS n_shingles FROM ev GROUP BY 1),
+         hit AS (SELECT id, count(*) AS n_hit FROM ev
+                 WHERE shingle IN (SELECT shingle FROM tr) GROUP BY 1)
+         SELECT t.id, t.n_shingles, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                (coalesce(h.n_hit, 0) * 100 >= t.n_shingles * 50) AS contaminated
+         FROM tot t LEFT JOIN hit h USING (id)""",
+    // Posting-list replay: identical distinct (token, id) pairs,
+    // ordered id lists, first element + lag-difference gaps.
+    "q102_inverted_index" ->
+      """WITH pairs AS (SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS token
+                        FROM documents),
+         p2 AS (SELECT * FROM pairs WHERE token <> ''),
+         lists AS (SELECT token, count(*) AS df, list(id ORDER BY id) AS ids
+                   FROM p2 GROUP BY token HAVING count(*) >= 2)
+         SELECT token, df, ids[1] AS first_id,
+                array_to_string(list_transform(generate_series(2, len(ids)),
+                                               i -> ids[i] - ids[i - 1]), ',') AS gaps_csv
+         FROM lists""",
+    // Keyword replay: identical tf / df counts, identical integer
+    // division score, identical (score desc, token asc) ranking.
+    "q103_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM documents),
+         f AS (SELECT * FROM toks WHERE len(token) >= 4),
+         tf AS (SELECT id, token, count(*) AS tf FROM f GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT id, token, tf, df, (tf * 1000000) // df AS score
+                FROM tf JOIN dfreq USING (token)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, token ASC) AS rank
+               FROM sc)
+         SELECT id, token, tf, df, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3""",
+    // predict_linear replay: identical epoch-second x / micro-unit y,
+    // identical exact co-moments (HUGEINT here, decimal(38,0) in the
+    // engine; int128 -> VARCHAR -> DOUBLE like q86), identical float
+    // op order: slope = num/den, intercept = (sy - slope*sx)/n,
+    // predicted = slope*x_pred + intercept, both scaled by 1e6 last.
+    "q104_predict_linear" ->
+      """WITH e AS (SELECT event_type AS series, CAST(epoch(date_trunc('second', ts)) AS HUGEINT) AS x,
+                CAST(CAST(CAST(round(value, 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS HUGEINT) AS y
+              FROM events),
+         s AS (SELECT series, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                      sum(x*y) AS sxy, sum(x*x) AS sxx, max(x) AS x_max
+               FROM e GROUP BY 1)
+         SELECT series, n AS n_points,
+                CASE WHEN CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE) > 0 THEN
+                  (CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE)) / 1000000e0
+                END AS slope,
+                CASE WHEN CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE) > 0 THEN
+                  ((CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE))
+                     * CAST(CAST(x_max + 3600 AS VARCHAR) AS DOUBLE)
+                   + (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                        - (CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+                             / CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE))
+                          * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                     / CAST(n AS DOUBLE)) / 1000000e0
+                END AS predicted
+         FROM s WHERE n >= 2""",
+    // Fuzzy-join truth: brute-force all-pairs levenshtein at oracle
+    // scale — the engine's FastSS blocking must reproduce it exactly.
+    "q105_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                a.c_name AS str_a, b.c_name AS str_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
     // Exact oracle for the tier-merged HLL path: at these per-bucket
     // cardinalities the datasketches HLL sketch is still in its
     // exact (sparse) mode, so the estimate after two re-rollup merges
