@@ -546,6 +546,51 @@ object SparkEntry {
         .withColumn("dist", col("dist").cast("long"))
     }),
 
+    // ---- exact substring-span dedup: every 5-token span repeated
+    //      across docs, with occurrence coordinates — the boilerplate
+    //      passage detector (Lee et al. ExactSubstr re-expressed as a
+    //      sliding-window hash join) ----
+    "q106_span_dedup" -> ((s, dir) => {
+      graft.dedup.SpanDedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 5)
+    }),
+
+    // ---- corpus Zipf frequency spectrum: types + token mass per
+    //      frequency band, head-mass cumsum — the df floor/cap curve ----
+    "q107_zipf_spectrum" -> ((s, dir) => {
+      graft.text.CorpusStats.frequencySpectrum(t(s, dir, "documents"), "text")
+    }),
+
+    // ---- ingestion integrity: duplicate + dropped sequence ids over
+    //      a deterministically corrupted replay of the event stream ----
+    "q108_integrity" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val corrupted = ev
+        .filter(col("event_id") % 97 =!= 13)
+        .unionByName(ev.filter(col("event_id") % 101 === 7))
+      graft.rollup.Integrity.sequenceAnomalies(corrupted, "event_id")
+    }),
+
+    // ---- CUSUM changepoint detection: per-series drift accumulator
+    //      closed to two stacked windows (running sum + running min),
+    //      all micro-unit integers ----
+    "q109_cusum" -> ((s, dir) => {
+      graft.rollup.Changepoint.cusum(
+        t(s, dir, "events"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        targetMicro = 60000000L,
+        hMicro = 500000000L
+      )
+    }),
+
+    // ---- robust MAD outliers: lower-median / lower-MAD per series,
+    //      exact integer rank arithmetic (no interpolated quantiles) ----
+    "q110_mad_outliers" -> ((s, dir) => {
+      graft.rollup.Robust.madOutliers(t(s, dir, "events"), "event_type", "ts", "event_id", "value", k = 3)
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2758,6 +2803,77 @@ object SparkEntry {
                      / CAST(n AS DOUBLE)) / 1000000e0
                 END AS predicted
          FROM s WHERE n >= 2""",
+    // Span replay: identical position windows, identical md5-prefix
+    // 60-bit span hashes, identical group stats and coordinates.
+    "q106_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sp AS (SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
+                       CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS span_hash
+                FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i) g
+                WHERE len(t) >= 5),
+         gs AS (SELECT span_hash, count(DISTINCT id) AS n_docs, count(*) AS n_occ
+                FROM sp GROUP BY 1)
+         SELECT sp.id, sp.pos, sp.span_hash, gs.n_docs, gs.n_occ
+         FROM sp JOIN gs USING (span_hash) WHERE gs.n_docs >= 2""",
+    // Spectrum replay: identical token counts, count-of-counts, and
+    // head-down cumulative token mass.
+    "q107_zipf_spectrum" ->
+      """WITH tf AS (SELECT token, count(*) AS freq
+                     FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+                     WHERE token <> '' GROUP BY 1),
+         sp AS (SELECT freq, count(*) AS n_types, freq * count(*) AS tokens_at_freq FROM tf GROUP BY 1)
+         SELECT freq, n_types, tokens_at_freq,
+                CAST(sum(tokens_at_freq) OVER (ORDER BY freq DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_tokens
+         FROM sp""",
+    // Integrity replay: the identical deterministic corruption (drop
+    // id % 97 = 13, replay id % 101 = 7), then dup counts and
+    // lag-difference gap runs.
+    "q108_integrity" ->
+      """WITH s AS (SELECT event_id FROM events WHERE event_id % 97 <> 13
+                    UNION ALL SELECT event_id FROM events WHERE event_id % 101 = 7),
+         ids AS (SELECT CAST(event_id AS BIGINT) AS id FROM s),
+         dups AS (SELECT 'dup' AS kind, id AS at_id, count(*) AS n
+                  FROM ids GROUP BY id HAVING count(*) > 1),
+         d AS (SELECT DISTINCT id FROM ids),
+         gaps AS (SELECT 'gap' AS kind, prev + 1 AS at_id, id - prev - 1 AS n
+                  FROM (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM d)
+                  WHERE prev IS NOT NULL AND id - prev > 1)
+         SELECT * FROM dups UNION ALL SELECT * FROM gaps""",
+    // CUSUM replay: identical micro-unit drifts and the identical
+    // prefix-sum/prefix-min closed form of the max(0, ...) recursion.
+    "q109_cusum" ->
+      """WITH e AS (SELECT event_type AS series, ts, event_id AS order_id, value,
+                CAST(CAST(round(value, 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT) - 60000000 AS d
+              FROM events),
+         c AS (SELECT *, CAST(sum(d) OVER w AS BIGINT) AS c FROM e
+               WINDOW w AS (PARTITION BY series ORDER BY ts, order_id ROWS UNBOUNDED PRECEDING)),
+         f AS (SELECT *, least(CAST(0 AS BIGINT), CAST(min(c) OVER w AS BIGINT)) AS fl FROM c
+               WINDOW w AS (PARTITION BY series ORDER BY ts, order_id ROWS UNBOUNDED PRECEDING))
+         SELECT series, ts, order_id, value, c - fl AS cusum_micro,
+                (c - fl >= 500000000) AS alarm
+         FROM f""",
+    // MAD replay: identical lower-median rank arithmetic for both the
+    // per-series median and the deviation median.
+    "q110_mad_outliers" ->
+      """WITH b AS (SELECT event_type AS series, ts, event_id AS order_id, value,
+                CAST(CAST(round(value, 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS x
+              FROM events),
+         m AS (SELECT series, x AS med_micro FROM
+                 (SELECT series, x, order_id,
+                         row_number() OVER (PARTITION BY series ORDER BY x, order_id) AS rn,
+                         count(*) OVER (PARTITION BY series) AS n FROM b)
+               WHERE rn = (n + 1) // 2),
+         wd AS (SELECT b.*, med_micro, abs(x - med_micro) AS dev_micro FROM b JOIN m USING (series)),
+         md AS (SELECT series, dev_micro AS mad_micro FROM
+                 (SELECT series, dev_micro, order_id,
+                         row_number() OVER (PARTITION BY series ORDER BY dev_micro, order_id) AS rn,
+                         count(*) OVER (PARTITION BY series) AS n FROM wd)
+               WHERE rn = (n + 1) // 2),
+         j AS (SELECT wd.*, mad_micro FROM wd JOIN md USING (series))
+         SELECT series, ts, order_id, value, med_micro, mad_micro, dev_micro,
+                (dev_micro > mad_micro * 3) AS outlier
+         FROM j""",
     // Fuzzy-join truth: brute-force all-pairs levenshtein at oracle
     // scale — the engine's FastSS blocking must reproduce it exactly.
     "q105_fuzzy_join" ->

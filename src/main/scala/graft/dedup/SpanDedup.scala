@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact substring-span deduplication: find every k-token span that
+  * repeats across documents (Lee et al., "Deduplicating Training Data
+  * Makes Language Models Better", ACL 2022 — the suffix-array ExactSubstr
+  * method, re-expressed as a distributed sliding-window hash join).
+  * Unlike document-level Jaccard/MinHash (q14/q22), this catches long
+  * boilerplate passages embedded in otherwise-distinct pages — the
+  * dominant duplication mode in web crawl text.
+  *
+  * Position-indexed k-token windows (NOT deduplicated per doc —
+  * positions are the output) are hashed with the repo's SQL-replayable
+  * md5-prefix scheme; spans whose hash occurs in >= minDocs distinct
+  * docs are emitted with their occurrence coordinates, ready for
+  * span-cut filtering.
+  *
+  * Scale shape: one explode (size - k + 1 windows per doc), one
+  * partial-aggregated exchange keyed by span hash for the group stats,
+  * and one shuffle hash join back on the hash to attach coordinates —
+  * the wire carries (id, pos, hash) triples and (hash, stats) rows,
+  * never text. A span shared by h docs re-joins h rows per occurrence
+  * list — inherent output size. 60-bit hashes: collisions ~ n^2/2^61;
+  * at 10^12 spans use the 2-column (hash, len) key or verify emitted
+  * groups exactly (the oracle uses the identical hash, so parity holds
+  * regardless).
+  */
+object SpanDedup {
+
+  /** One row per occurrence of a cross-doc repeated k-token span:
+    * (id, pos, span_hash, n_docs, n_occ); pos is the 0-based token
+    * offset of the window.
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val occ = graft.spark.Spread
+      .cpu(df)
+      .select(col(idCol).cast("long").as("id"), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(
+        col("id"),
+        explode(
+          expr(
+            s"""transform(sequence(0, size(t) - $k),
+                          i -> struct(cast(i as long) as pos,
+                                      cast(conv(substring(md5(array_join(slice(t, i + 1, $k), ' ')), 1, 15),
+                                                16, 10) as bigint) as span_hash))"""
+          )
+        ).as("w")
+      )
+      .select(col("id"), col("w.pos").as("pos"), col("w.span_hash").as("span_hash"))
+
+    val groups = occ
+      .groupBy("span_hash")
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
+    occ.join(groups, Seq("span_hash")).select("id", "pos", "span_hash", "n_docs", "n_occ")
+  }
+}
