@@ -591,6 +591,58 @@ object SparkEntry {
       graft.rollup.Robust.madOutliers(t(s, dir, "events"), "event_type", "ts", "event_id", "value", k = 3)
     }),
 
+    // ---- interval-union coverage: merge overlapping per-series
+    //      intervals (gaps-and-islands), exact covered seconds — the
+    //      no-double-count uptime/SLA primitive ----
+    "q111_interval_union" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(
+        col("event_type").as("series"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + floor(col("value")).cast("long") * 60).as("e")
+      )
+      graft.rollup.Intervals.unionCoverage(iv, "series", "s", "e")
+    }),
+
+    // ---- sliding-window rate limiting audit: trailing-hour count per
+    //      user via an exact integer RANGE frame, breach at > 2 ----
+    "q112_rate_limit" -> ((s, dir) => {
+      graft.rollup.RateLimit
+        .audit(t(s, dir, "events"), "user_id", "ts", windowSec = 3600L, limit = 2L)
+        .select("event_id", "user_id", "ts", "n_in_window", "breach")
+    }),
+
+    // ---- per-group ECDF normalization: exact max-rank rationals plus
+    //      the one float division both engines share ----
+    "q113_ecdf" -> ((s, dir) => {
+      graft.rollup.Ecdf
+        .normalize(t(s, dir, "events"), "event_type", "value")
+        .select("event_id", "event_type", "value", "ecdf_num", "ecdf_den", "ecdf")
+    }),
+
+    // ---- Holt double exponential smoothing (level + trend) at
+    //      alpha = beta = 1/2: exact pre-scaled integer fold, shifts
+    //      only; level/trend/forecast the sole float steps ----
+    "q114_holt_smooth" -> ((s, dir) => {
+      graft.rollup.DoubleSmooth
+        .holt(t(s, dir, "events"), Seq("event_type"), "ts", "value", tieBreak = "event_id")
+        .select("event_id", "event_type", "ts", "value", "level", "trend", "forecast", "n_window")
+    }),
+
+    // ---- Spark-native ROLLUP grouping sets pinned to the oracle's
+    //      GROUP BY ROLLUP: multi-level aggregates in ONE pass (no
+    //      union of re-scans), NULL group markers + grouping level ----
+    "q115_rollup_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          // quantities are integral doubles: cast-then-sum is exact
+          // and order-free (float sum would be order-sensitive)
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid")
+        )
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2803,6 +2855,87 @@ object SparkEntry {
                      / CAST(n AS DOUBLE)) / 1000000e0
                 END AS predicted
          FROM s WHERE n >= 2""",
+    // Interval-union replay: identical epoch-second intervals,
+    // identical prior-rows running-max island breaks, identical
+    // island aggregates.
+    "q111_interval_union" ->
+      """WITH b AS (SELECT event_type AS series, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) * 60 AS e
+              FROM events),
+         f AS (SELECT * FROM b WHERE e > s),
+         p AS (SELECT *, max(e) OVER (PARTITION BY series ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+               FROM f),
+         i AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni FROM p),
+         x AS (SELECT *, sum(ni) OVER (PARTITION BY series ORDER BY s, e
+                                       ROWS UNBOUNDED PRECEDING) AS island FROM i)
+         SELECT series, min(s) AS island_start, max(e) AS island_end,
+                max(e) - min(s) AS covered_sec, count(*) AS n_intervals
+         FROM x GROUP BY series, island""",
+    // Rate-limit replay: identical integer epoch seconds and the
+    // identical inclusive RANGE frame (3599 preceding .. current).
+    "q112_rate_limit" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events)
+         SELECT event_id, user_id, ts,
+                count(*) OVER (PARTITION BY user_id ORDER BY es
+                               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_in_window,
+                (count(*) OVER (PARTITION BY user_id ORDER BY es
+                                RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) > 2) AS breach
+         FROM e""",
+    // ECDF replay: identical max-rank tie handling via the identical
+    // value-RANGE counting frame, identical rational and division.
+    "q113_ecdf" ->
+      """SELECT event_id, event_type, value,
+                count(*) OVER (PARTITION BY event_type ORDER BY value
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ecdf_num,
+                count(*) OVER (PARTITION BY event_type) AS ecdf_den,
+                CAST(count(*) OVER (PARTITION BY event_type ORDER BY value
+                                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS ecdf
+         FROM events""",
+    // Holt replay via the CLOSED FORM: the alpha=beta=1/2 recursion is
+    // linear, so l_k/b_k are exact integer dot products of the window
+    // with precomputed dyadic weight rows (scaled by 4^7; row k has k
+    // entries; derived from l_k = (x_k + l + b)/2, b_k = (x_k - l +
+    // 3b)/4 from l_1 = x_1, b_1 = 0). Deliberately NOT the engine's
+    // fold formulation — an independent derivation of the same exact
+    // integers (DuckDB 1.0 list_reduce mutates the accumulator struct
+    // field-by-field, so a literal fold replay silently diverges).
+    "q114_holt_smooth" ->
+      """WITH w AS (SELECT event_id, event_type, ts, value,
+                list(CAST(CAST(round(value, 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT))
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+              FROM events),
+         f AS (SELECT *,
+                CAST(list_sum(list_transform(list_zip(vals,
+                  ([[16384],[8192,8192],[2048,6144,8192],[-1536,3584,6144,8192],
+                    [-2944,1408,3584,6144,8192],[-2912,-32,1408,3584,6144,8192],
+                    [-2168,-744,-32,1408,3584,6144,8192],
+                    [-1254,-914,-744,-32,1408,3584,6144,8192]])[len(vals)]),
+                  p -> p[1] * p[2])) AS BIGINT) AS sl,
+                CAST(list_sum(list_transform(list_zip(vals,
+                  ([[0],[-4096,4096],[-5120,1024,4096],[-4352,-768,1024,4096],
+                    [-2880,-1472,-768,1024,4096],[-1424,-1456,-1472,-768,1024,4096],
+                    [-340,-1084,-1456,-1472,-768,1024,4096],
+                    [287,-627,-1084,-1456,-1472,-768,1024,4096]])[len(vals)]),
+                  p -> p[1] * p[2])) AS BIGINT) AS sb
+               FROM w)
+         SELECT event_id, event_type, ts, value,
+                CAST(sl AS DOUBLE) / 16384000000e0 AS level,
+                CAST(sb AS DOUBLE) / 16384000000e0 AS trend,
+                CAST(sl + sb AS DOUBLE) / 16384000000e0 AS forecast,
+                CAST(len(vals) AS BIGINT) AS n_window
+         FROM f""",
+    // ROLLUP replay: the same grouping sets, NULL markers, and
+    // grouping bitmask; quantities cast to integers before summing so
+    // both engines aggregate exactly.
+    "q115_rollup_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->
