@@ -643,6 +643,53 @@ object SparkEntry {
         )
     }),
 
+    // ---- calendar-month presentation tier: re-rolled from the 1d
+    //      retention tier (one raw scan feeds the whole cascade) ----
+    "q116_month_rollup" -> ((s, dir) => {
+      val t1d = Rollup.fromRaw(
+        t(s, dir, "events"),
+        Seq("event_type"),
+        "ts",
+        "1d",
+        lit(0L),
+        Map("value_sum" -> round(col("value"), 6).cast("decimal(28,6)"))
+      )
+      Rollup
+        .reRollup(t1d, Seq("event_type"), "1d" -> "month")
+        .select(
+          col("event_type"),
+          col("bucket_ts"),
+          col("point_count"),
+          col("value_sum").cast("double").as("value_sum")
+        )
+    }),
+
+    // ---- staleness: which (user, type) series stopped reporting,
+    //      anchored at the corpus max ts (no wall clock) ----
+    "q117_staleness" -> ((s, dir) => {
+      graft.rollup.Staleness
+        .check(t(s, dir, "events"), Seq("user_id", "event_type"), "ts", staleAfterSec = 86400L)
+    }),
+
+    // ---- flap detection: per-series count of threshold crossings ----
+    "q118_flap_detect" -> ((s, dir) => {
+      graft.rollup.Flap.transitions(
+        t(s, dir, "events"),
+        Seq("event_type"),
+        "ts",
+        "event_id",
+        state = col("value") > 100.0,
+        flapThreshold = 50L
+      )
+    }),
+
+    // ---- cross-series ratio: errors per click per hour, aligned on
+    //      the union of both series' buckets (full outer, 0-filled) ----
+    "q119_series_ratio" -> ((s, dir) => {
+      graft.rollup.SeriesMath
+        .alignRatio(t(s, dir, "events"), "event_type", "ts", "1h", "error", "click")
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -2936,6 +2983,47 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n,
                 CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    // Month replay: calendar truncation on the raw rows — the engine's
+    // 1d -> month re-roll must be invisible (decimal sums re-sum
+    // exactly).
+    "q116_month_rollup" ->
+      s"""SELECT event_type, date_trunc('month', ts) AS bucket_ts, count(*) AS point_count,
+             ${dsumSql("value")} AS value_sum
+          FROM events GROUP BY 1, 2""",
+    // Staleness replay: identical per-series max epoch second and the
+    // identical corpus-wide anchor.
+    "q117_staleness" ->
+      """WITH p AS (SELECT user_id, event_type,
+                max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS last_epoch_s,
+                count(*) AS n_points
+              FROM events GROUP BY 1, 2),
+         a AS (SELECT max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS anchor_s FROM events)
+         SELECT user_id, event_type, last_epoch_s, n_points,
+                a.anchor_s - last_epoch_s AS age_sec,
+                (a.anchor_s - last_epoch_s) > 86400 AS stale
+         FROM p, a""",
+    // Flap replay: identical (ts, event_id) ordering, identical
+    // lag-based transition counting (first row is not a transition).
+    "q118_flap_detect" ->
+      """WITH s AS (SELECT event_type, (value > 100.0) AS st,
+                lag(value > 100.0) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pst
+              FROM events)
+         SELECT event_type, count(*) AS n_points,
+                CAST(sum(CASE WHEN pst IS NOT NULL AND pst <> st THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+                sum(CASE WHEN pst IS NOT NULL AND pst <> st THEN 1 ELSE 0 END) > 50 AS flapping
+         FROM s GROUP BY 1""",
+    // Ratio replay: identical hour buckets, full-outer alignment with
+    // zero fill, null ratio on empty denominator.
+    "q119_series_ratio" ->
+      """WITH n AS (SELECT date_trunc('hour', ts) AS bucket_ts, count(*) AS n_num
+              FROM events WHERE event_type = 'error' GROUP BY 1),
+         d AS (SELECT date_trunc('hour', ts) AS bucket_ts, count(*) AS n_den
+              FROM events WHERE event_type = 'click' GROUP BY 1)
+         SELECT COALESCE(n.bucket_ts, d.bucket_ts) AS bucket_ts,
+                COALESCE(n_num, 0) AS n_num, COALESCE(n_den, 0) AS n_den,
+                CASE WHEN COALESCE(n_den, 0) > 0
+                     THEN CAST(COALESCE(n_num, 0) AS DOUBLE) / CAST(n_den AS DOUBLE) END AS ratio
+         FROM n FULL OUTER JOIN d ON n.bucket_ts = d.bucket_ts""",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->

@@ -22,6 +22,11 @@ object Tiers {
     case "1m"  => date_trunc("minute", ts)
     case "1h"  => date_trunc("hour", ts)
     case "1d"  => date_trunc("day", ts)
+    // calendar month: a PRESENTATION tier re-rolled from 1d (reports,
+    // billing). Not part of `All` — the north-rule retention cascade
+    // stays fixed-width — and deliberately absent from widthSeconds
+    // (months have none).
+    case "month" => date_trunc("month", ts)
     case "30d" =>
       timestamp_seconds(
         floor(unix_timestamp(ts) / ThirtyDaysSec).cast("long") * ThirtyDaysSec
@@ -45,6 +50,11 @@ object Tiers {
     case "30d" => "30 days"
     case other => throw new IllegalArgumentException(s"unknown tier $other")
   }
+
+  /** Tiers usable as a re-rollup TARGET (bucket() works), a superset of
+    * the retention cascade `All`.
+    */
+  val RollTargets: Seq[String] = All :+ "month"
 
   /** Fixed bucket width in seconds (exact under the engine's pinned
     * UTC session timezone — no DST, so calendar buckets have fixed
