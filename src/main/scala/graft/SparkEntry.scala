@@ -690,6 +690,32 @@ object SparkEntry {
         .alignRatio(t(s, dir, "events"), "event_type", "ts", "1h", "error", "click")
     }),
 
+    // ---- deterministic shard routing audit: per-shard row/weight
+    //      totals under the portable md5 hash ----
+    "q120_shard_balance" -> ((s, dir) => {
+      graft.operators.Sharding
+        .balance(t(s, dir, "documents"), "doc_id", "n_chars", nShards = 16, salt = "r4")
+    }),
+
+    // ---- template-opening groups: docs sharing their first-3-token
+    //      prefix (anchored span dedup, one window per doc) ----
+    "q121_prefix_groups" -> ((s, dir) => {
+      graft.dedup.SpanDedup.prefixGroups(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
+    // ---- vocabulary growth (Heaps curve) in 100-doc buckets ----
+    "q122_vocab_growth" -> ((s, dir) => {
+      graft.text.CorpusStats
+        .vocabGrowth(t(s, dir, "documents"), "doc_id", "text", bucketWidth = 100L)
+    }),
+
+    // ---- biggest movers: series activity delta across the data's own
+    //      midpoint, deterministic top-20 ----
+    "q123_top_movers" -> ((s, dir) => {
+      graft.rollup.Movers
+        .topMovers(t(s, dir, "events"), Seq("event_type", "user_id"), "ts", k = 20)
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -3024,6 +3050,52 @@ object SparkEntry {
                 CASE WHEN COALESCE(n_den, 0) > 0
                      THEN CAST(COALESCE(n_num, 0) AS DOUBLE) / CAST(n_den AS DOUBLE) END AS ratio
          FROM n FULL OUTER JOIN d ON n.bucket_ts = d.bucket_ts""",
+    // Shard replay: identical md5-prefix hash mod 16 and identical
+    // integer totals.
+    "q120_shard_balance" ->
+      """SELECT CAST(('0x' || substr(md5(doc_id || '|r4'), 1, 15)) AS BIGINT) % 16 AS shard,
+                count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS weight_sum
+         FROM documents GROUP BY 1""",
+    // Prefix replay: identical first-3-token join, identical 60-bit
+    // md5-prefix hash, identical group stats.
+    "q121_prefix_groups" ->
+      """WITH p AS (SELECT doc_id,
+                CAST(('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')), 1, 15)) AS BIGINT) AS prefix_hash
+              FROM documents WHERE len(string_split(text, ' ')) >= 3)
+         SELECT prefix_hash, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_id
+         FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+    // Heaps replay: identical min-doc-id first-seen rule, identical
+    // 100-doc buckets, identical running sums.
+    "q122_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         tk AS (SELECT * FROM toks WHERE token <> ''),
+         fs AS (SELECT CAST(floor(doc_id / 100) AS BIGINT) AS bucket, count(*) AS new_types
+                FROM (SELECT token, min(doc_id) AS doc_id FROM tk GROUP BY 1) GROUP BY 1),
+         oc AS (SELECT CAST(floor(doc_id / 100) AS BIGINT) AS bucket, count(*) AS n_tokens
+                FROM tk GROUP BY 1)
+         SELECT oc.bucket, oc.n_tokens, COALESCE(fs.new_types, 0) AS new_types,
+                CAST(sum(COALESCE(fs.new_types, 0)) OVER (ORDER BY oc.bucket
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+                CAST(sum(oc.n_tokens) OVER (ORDER BY oc.bucket
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         FROM oc LEFT JOIN fs USING (bucket)""",
+    // Movers replay: identical integer midpoint anchor, identical
+    // conditional counts, identical (abs_delta desc, series asc)
+    // total order for the top 20.
+    "q123_top_movers" ->
+      """WITH a AS (SELECT (min(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                          + max(CAST(epoch(date_trunc('second', ts)) AS BIGINT))) // 2 AS mid_s
+                    FROM events),
+         c AS (SELECT event_type, user_id,
+                CAST(sum(CASE WHEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) <= a.mid_s
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+                CAST(sum(CASE WHEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) > a.mid_s
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+               FROM events, a GROUP BY 1, 2)
+         SELECT event_type, user_id, n_before, n_after,
+                n_after - n_before AS delta, abs(n_after - n_before) AS abs_delta
+         FROM c
+         ORDER BY abs_delta DESC, event_type ASC, user_id ASC LIMIT 20""",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->

@@ -64,4 +64,41 @@ object SpanDedup {
 
     occ.join(groups, Seq("span_hash")).select("id", "pos", "span_hash", "n_docs", "n_occ")
   }
+
+  /** Template-opening detection: group documents by their first-k-token
+    * prefix — the anchored special case of span dedup that catches
+    * templated pages ("Welcome to ... | Home | Products ...") whose
+    * bodies diverge after a shared generated opening. Cheaper than full
+    * span dedup (ONE window per doc, not size-k+1) and the natural
+    * first pass before it.
+    *
+    * @return one row per prefix shared by >= minDocs distinct docs:
+    *         (prefix_hash, n_docs, min_id) — min_id is the canonical
+    *         exemplar to keep.
+    *
+    * Scale shape: a pure projection to (id, hash) then one
+    * partial-aggregated exchange keyed by the prefix hash; text never
+    * crosses the wire.
+    */
+  def prefixGroups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDocs: Int = 2
+  ): DataFrame =
+    graft.spark.Spread
+      .cpu(df)
+      .select(col(idCol).cast("long").as("id"), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(
+        col("id"),
+        expr(
+          s"""cast(conv(substring(md5(array_join(slice(t, 1, $k), ' ')), 1, 15),
+                        16, 10) as bigint)"""
+        ).as("prefix_hash")
+      )
+      .groupBy("prefix_hash")
+      .agg(countDistinct(col("id")).as("n_docs"), min(col("id")).as("min_id"))
+      .filter(col("n_docs") >= minDocs)
 }

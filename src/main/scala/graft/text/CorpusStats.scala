@@ -38,4 +38,39 @@ object CorpusStats {
       )
     )
   }
+
+  /** Vocabulary-growth (Heaps-law) curve: scanning the corpus in doc-id
+    * order in fixed-width doc buckets, how many NEW token types does
+    * each bucket introduce and how big is the vocabulary after it? The
+    * curve data curation reads to judge corpus diversity — a flattening
+    * curve means new data is re-treading old vocabulary.
+    *
+    * Exact: a type is "introduced" by the minimum doc id containing it
+    * (deterministic, order-free); all counts integer.
+    *
+    * Scale shape: token counts partial-aggregate per (token) — the
+    * min-doc-id agg input is vocabulary-sized, the bucket agg input is
+    * bucket-count-sized, and the running sum runs over the tiny curve
+    * relation. No windows over data-sized relations.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val toks = graft.spark.Spread
+      .cpu(df)
+      .select(col(idCol).cast("long").as("__id"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val firstSeen = toks
+      .groupBy("token")
+      .agg(min(col("__id")).as("first_id"))
+      .groupBy(floor(col("first_id") / bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val occurrences = toks
+      .groupBy(floor(col("__id") / bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val curve = occurrences.join(firstSeen, Seq("bucket"), "left").na.fill(0L, Seq("new_types"))
+    val run = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve
+      .withColumn("vocab_size", sum(col("new_types")).over(run))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(run))
+  }
 }
