@@ -716,6 +716,78 @@ object SparkEntry {
         .topMovers(t(s, dir, "events"), Seq("event_type", "user_id"), "ts", k = 20)
     }),
 
+    // ---- Structured Streaming windowed tier: the built-in
+    //      watermark+window path (the custom-state block builder is
+    //      q58), flushed by watermark-advancing sentinel batches and
+    //      pinned against the batch 1h aggregate ----
+    "q124_streaming_tier" -> ((s, dir) => {
+      import s.implicits._
+      val pts = t(s, dir, "events")
+        .select(col("event_type").as("series"), col("ts"), col("value").cast("long").as("value"))
+        .as[graft.streaming.StreamPoint]
+        .collect()
+        .toSeq
+      val maxTs = pts.map(_.ts.getTime).max
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.StreamPoint]
+      val sink = s"q124_sink_${System.nanoTime()}"
+      val q = graft.streaming.StreamingRollup
+        .streamingTier(
+          ms.toDS().toDF(),
+          Seq("series"),
+          "ts",
+          "1h",
+          watermark = "10 minutes",
+          sizeCol = col("value")
+        )
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+      ms.addData(pts)
+      q.processAllAvailable()
+      (1 to 2).foreach { i =>
+        ms.addData(
+          graft.streaming.StreamPoint("__sentinel__", new java.sql.Timestamp(maxTs + i * 7200000L), 0L)
+        )
+        q.processAllAvailable()
+      }
+      val out = s
+        .table(sink)
+        .filter(col("series") =!= "__sentinel__")
+        .select(
+          col("series").as("event_type"),
+          col("bucket_ts"),
+          col("point_count"),
+          col("byte_size")
+        )
+      q.stop()
+      out
+    }),
+
+    // ---- per-bucket variance from exact decimal co-moments ----
+    "q125_bucket_variance" -> ((s, dir) => {
+      graft.rollup.Moments
+        .bucketVariance(t(s, dir, "events"), Seq("event_type"), "ts", "1d", "value")
+    }),
+
+    // ---- per-day Simpson diversity of the event-type mix ----
+    "q126_diversity" -> ((s, dir) => {
+      graft.rollup.Diversity.simpson(t(s, dir, "events"), "ts", "1d", "event_type")
+    }),
+
+    // ---- SCD-2 history: per-user change log -> validity intervals ----
+    "q127_scd2_history" -> ((s, dir) => {
+      graft.operators.Scd2
+        .history(
+          t(s, dir, "events").select("event_id", "user_id", "ts", "event_type"),
+          Seq("user_id"),
+          "ts",
+          "event_id"
+        )
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -3096,6 +3168,46 @@ object SparkEntry {
                 n_after - n_before AS delta, abs(n_after - n_before) AS abs_delta
          FROM c
          ORDER BY abs_delta DESC, event_type ASC, user_id ASC LIMIT 20""",
+    // Streaming-tier replay: the watermark+window streaming aggregate
+    // over a bounded input must equal the batch hourly aggregate
+    // (value truncated toward zero to long on both sides, as q58).
+    "q124_streaming_tier" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                count(*) AS point_count,
+                CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS byte_size
+         FROM events GROUP BY 1, 2""",
+    // Variance replay: identical exact decimal co-moments, identical
+    // float epilogue expression.
+    "q125_bucket_variance" ->
+      """WITH m AS (SELECT event_type, date_trunc('day', ts) AS bucket_ts, count(*) AS n,
+                sum(CAST(round(value, 6) AS DECIMAL(16,6))) AS sx_d,
+                sum(CAST(round(value, 6) AS DECIMAL(16,6)) * CAST(round(value, 6) AS DECIMAL(16,6))) AS sxx_d
+              FROM events GROUP BY 1, 2)
+         SELECT event_type, bucket_ts, n,
+                CAST(sx_d AS DOUBLE) AS sx, CAST(sxx_d AS DOUBLE) AS sxx,
+                (CAST(n AS DOUBLE) * CAST(sxx_d AS DOUBLE)
+                   - CAST(sx_d AS DOUBLE) * CAST(sx_d AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop
+         FROM m""",
+    // Simpson replay: identical per-category counts, identical integer
+    // sum of squares, identical single division.
+    "q126_diversity" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS bucket_ts, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2)
+         SELECT bucket_ts, CAST(sum(n) AS BIGINT) AS n_total,
+                CAST(sum(n * n) AS BIGINT) AS sum_sq,
+                1.0 - CAST(sum(n * n) AS DOUBLE)
+                    / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS simpson
+         FROM c GROUP BY 1""",
+    // SCD-2 replay: identical (ts, event_id) ordering per user,
+    // identical epoch-second interval bounds, open row marked current.
+    "q127_scd2_history" ->
+      """SELECT event_id, user_id, ts, event_type,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS effective_from_s,
+                lead(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to_s,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+         FROM events""",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->
