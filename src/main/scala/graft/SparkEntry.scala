@@ -788,6 +788,26 @@ object SparkEntry {
         )
     }),
 
+    // ---- exponential (log2 / native-histogram) value buckets via
+    //      exact bit-length bucketing ----
+    "q128_log_histogram" -> ((s, dir) => {
+      graft.rollup.Histogram.logBuckets(t(s, dir, "events"), "event_type", "value")
+    }),
+
+    // ---- seasonal anomalies: each point vs its own hour-of-week
+    //      baseline, broadcast join, fixed residual threshold ----
+    "q129_seasonal_anomaly" -> ((s, dir) => {
+      graft.rollup.Seasonal
+        .anomalies(t(s, dir, "events"), "event_type", "ts", "value", threshold = 80.0)
+        .select("event_id", "event_type", "ts", "value", "hour_of_week", "expected", "residual")
+    }),
+
+    // ---- zone maps over the z-order layout: per-zone pruning stats ----
+    "q130_zone_maps" -> ((s, dir) => {
+      graft.operators.ZoneMap
+        .stats(t(s, dir, "events"), "user_id", "event_type", Seq("user_id", "event_id"))
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -3208,6 +3228,52 @@ object SparkEntry {
                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to_s,
                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
          FROM events""",
+    // Log-bucket replay: identical micro units, identical bit-length
+    // bucket ids, identical shift bounds.
+    "q128_log_histogram" ->
+      """WITH m AS (SELECT event_type,
+                CAST(CAST(round(value, 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS micro
+              FROM events),
+         b AS (SELECT event_type,
+                CAST(CASE WHEN micro <= 0 THEN 0 ELSE length(bin(micro)) END AS BIGINT) AS bucket
+               FROM m)
+         SELECT event_type AS series, bucket,
+                CASE WHEN bucket = 0 THEN NULL
+                     ELSE (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INTEGER)) END AS lo_micro,
+                CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) END AS hi_micro,
+                count(*) AS n
+         FROM b GROUP BY 1, 2""",
+    // Seasonal-anomaly replay: identical hour-of-week index, identical
+    // decimal-mean baseline, identical residual chain and threshold.
+    "q129_seasonal_anomaly" ->
+      s"""WITH e AS (SELECT event_id, event_type, ts, value,
+                 (epoch_us(ts) // 3600000000) % 168 AS hour_of_week
+               FROM events),
+         b AS (SELECT event_type, hour_of_week,
+                 ${dsumSql("value")} / CAST(count(*) AS DOUBLE) AS expected
+               FROM e GROUP BY 1, 2)
+         SELECT e.event_id, e.event_type, e.ts, e.value,
+                CAST(e.hour_of_week AS BIGINT) AS hour_of_week,
+                b.expected, e.value - b.expected AS residual
+         FROM e JOIN b USING (event_type, hour_of_week)
+         WHERE abs(e.value - b.expected) > 80.0""",
+    // Zone-map replay: identical 16-bit md5 hashes, identical bit
+    // interleave, identical 12-bit zone prefix and min/max stats.
+    "q130_zone_maps" ->
+      """WITH h AS (SELECT user_id, event_id,
+                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|za'), 1, 15)) AS BIGINT) & 65535 AS ha,
+                CAST(('0x' || substr(md5(event_type || '|zb'), 1, 15)) AS BIGINT) & 65535 AS hb
+              FROM events),
+         z AS (SELECT user_id, event_id,
+                CAST(list_sum(list_transform(generate_series(0, 15),
+                  i -> ((ha >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+                     + ((hb >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1)))) AS BIGINT) >> 20 AS zone
+               FROM h)
+         SELECT zone, count(*) AS n_rows,
+                min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+                min(event_id) AS min_event_id, max(event_id) AS max_event_id
+         FROM z GROUP BY 1""",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->

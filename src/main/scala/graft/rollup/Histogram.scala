@@ -44,6 +44,38 @@ object Histogram {
       sum(col("n")).over(cum).as("cum_n"))
   }
 
+  /** Exponential (log2) histogram — the Prometheus NATIVE-histogram /
+    * HDR shape: bucket width doubles each step, so a fixed number of
+    * buckets covers any dynamic range with bounded relative error
+    * (one octave here). The bucket id is the BIT LENGTH of the
+    * micro-unit value (`length(bin(x))` = floor(log2 x) + 1) — pure
+    * integer/string built-ins, so the id is exact in any engine, where
+    * a float `log2` would be engine-dependent at power-of-two
+    * boundaries. Non-positive values land in bucket 0 (their own
+    * underflow bucket). Bounds are exact shifts: [2^(b-1), 2^b) micro.
+    *
+    * Scale shape: identical to [[fixedWidth]] — one partial-aggregated
+    * exchange on (series, bucket); bucket count is <= 64 per series by
+    * construction.
+    */
+  def logBuckets(df: DataFrame, seriesCol: String, valueCol: String): DataFrame = {
+    val micro = (round(col(valueCol), 6).cast("decimal(16,6)") * lit(1000000)).cast("long")
+    val bucket = when(micro <= 0, lit(0L)).otherwise(length(bin(micro)).cast("long"))
+    df.groupBy(col(seriesCol).as("series"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("series"),
+        col("bucket"),
+        when(col("bucket") === 0, lit(null).cast("long"))
+          .otherwise(expr("shiftleft(1L, cast(bucket - 1 as int))"))
+          .as("lo_micro"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(bucket as int))"))
+          .as("hi_micro"),
+        col("n")
+      )
+  }
+
   /** Prometheus `histogram_quantile` over [[fixedWidth]]'s buckets:
     * the quantile lands in the first bin whose cumulative count covers
     * `q * total`, linearly interpolated inside the bin (rank-based,

@@ -38,4 +38,39 @@ object Seasonal {
         count(lit(1)).as("n"),
         (sum(round(col(valueCol), 6).cast("decimal(28,6)")).cast("double") /
           count(lit(1)).cast("double")).as("mean_value"))
+
+  /** Seasonal anomaly scoring: every point compared against ITS OWN
+    * hour-of-week baseline — "is 3 am Sunday traffic weird FOR a 3 am
+    * Sunday", which a global z-score ([[Anomaly]]) cannot ask. Rows
+    * whose |value − expected| exceeds the threshold are returned with
+    * the expectation and residual attached.
+    *
+    * Scale shape: the baseline collapses to #series × 168 rows — pure
+    * broadcast territory — so the scoring pass is one broadcast hash
+    * join over a single scan, no re-shuffle of the raw data. The float
+    * mean/residual chain is the identical expression in the oracle.
+    */
+  def anomalies(
+      df: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      valueCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    // fresh column names on the broadcast side: baseline() derives
+    // from the same df, so a name-based self-join would be ambiguous
+    val base = baseline(df, seriesCol, tsCol, valueCol)
+      .select(
+        col("series").as("__b_series"),
+        col("hour_of_week").as("__b_how"),
+        col("mean_value").as("expected"))
+    df.withColumn("hour_of_week", hourOfWeek(col(tsCol)))
+      .join(
+        broadcast(base),
+        col(seriesCol) === col("__b_series") && col("hour_of_week") === col("__b_how"),
+        "inner")
+      .drop("__b_series", "__b_how")
+      .withColumn("residual", col(valueCol) - col("expected"))
+      .filter(abs(col("residual")) > threshold)
+  }
 }

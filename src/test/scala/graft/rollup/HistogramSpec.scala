@@ -62,4 +62,28 @@ class HistogramSpec extends SparkSpec {
       Histogram.histogramQuantile(values, "series", "value", 5.0, q = 0.0)
     }
   }
+
+  test("logBuckets: bit-length bucketing, exact shift bounds, underflow bucket") {
+    val df = Seq(
+      ("a", 1.0),      // micro 1_000_000, bin length 20 -> [2^19, 2^20)
+      ("a", 1.04),     // micro 1_040_000, still length 20
+      ("a", 2.0),      // micro 2_000_000, length 21
+      ("a", 0.000001), // micro 1, length 1 -> [1, 2)
+      ("a", 0.0),      // micro 0 -> underflow bucket 0
+      ("b", -3.0)      // negative -> underflow bucket 0
+    ).toDF("series", "value")
+    val got = Histogram
+      .logBuckets(df, "series", "value")
+      .collect()
+      .map { r =>
+        val lo = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        (r.getString(0), r.getLong(1)) -> ((lo, r.getLong(3), r.getLong(4)))
+      }
+      .toMap
+    assert(got(("a", 20L)) == ((Some(1L << 19), 1L << 20, 2L)))
+    assert(got(("a", 21L)) == ((Some(1L << 20), 1L << 21, 1L)))
+    assert(got(("a", 1L)) == ((Some(1L), 2L, 1L)))
+    assert(got(("a", 0L)) == ((None, 0L, 1L)))
+    assert(got(("b", 0L)) == ((None, 0L, 1L)))
+  }
 }

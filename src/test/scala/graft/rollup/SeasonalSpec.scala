@@ -37,4 +37,24 @@ class SeasonalSpec extends SparkSpec {
       ("b", 3L) -> ((1L, 100.0))
     ))
   }
+
+  test("anomalies: residual vs own-slot baseline, threshold gates, broadcast join") {
+    val H = 3600L
+    // slot 3 of series a: values 10 and 20 -> mean 15; residual ±5
+    // slot 4 of series a: values 7 and 100 -> mean 53.5; residual ±46.5
+    val events = Seq(
+      (1L, "a", 3 * H, 10.0),
+      (2L, "a", 3 * H + 60, 20.0),
+      (3L, "a", 4 * H, 7.0),
+      (4L, "a", 4 * H + 60, 100.0)
+    ).toDF("event_id", "series", "sec", "value")
+      .select(col("event_id"), col("series"), timestamp_seconds(col("sec")).as("ts"), col("value"))
+    val got = Seasonal
+      .anomalies(events, "series", "ts", "value", threshold = 40.0)
+      .select("event_id", "expected", "residual")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got == Map(3L -> ((53.5, -46.5)), 4L -> ((53.5, 46.5))))
+  }
 }
