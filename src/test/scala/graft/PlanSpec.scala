@@ -103,16 +103,22 @@ class PlanSpec extends SparkSpec {
       // construction runs a CSV write / snapshot update + compaction /
       // a full streaming query — audited by their own oracles + specs
       "q56_csv_roundtrip", "q57_compaction", "q58_streaming_blocks",
-      "q61_experiment_grid"
+      "q61_experiment_grid",
+      // construction runs a full streaming query (watermark+window
+      // path) — audited by its oracle + StreamingRollupSpec
+      "q124_streaming_tier"
     )
     // broadcast-model or tiny-side joins where a nested-loop is the
     // right plan: brute-force/centroid crosses (exactness baselines),
     // literal-column broadcast model lookups, single-row evaluation
     // q100: the as-of anchor is a 1-row broadcast cross join — a
     // nested loop against one row IS the right plan
+    // q117/q123: the staleness/midpoint anchor is a 1-row broadcast
+    // cross join, same shape as q100
     val allowNlj = Set(
       "q15_ann_brute", "q28_ann_ivf", "q63_ann_ivf_kmeans", "q66_ann_pq", "q69_ann_ivf_pq",
-      "q35_embed_neardup", "q31_imputer", "q33_evaluate", "q100_decayed_topk"
+      "q35_embed_neardup", "q31_imputer", "q33_evaluate", "q100_decayed_topk",
+      "q117_staleness", "q123_top_movers"
     )
     // row_id-keyed apply/overlay joins: both sides scale with the
     // table, so a shuffle join IS the 100-TB plan (full-outer overlay
@@ -123,7 +129,13 @@ class PlanSpec extends SparkSpec {
     // back to error cells via AQE-chosen sides
     // q67: the exact-dedup digest join and the near-dup anti-join both
     // pair corpus-sized relations on a key — shuffle joins by design
-    val allowSmj = Set("q07_correct_fd", "q32_user_overlay", "q59_entity_corrector", "q67_corpus_pipeline")
+    // q119: FULL OUTER bucket alignment cannot broadcast by definition;
+    // both sides are tier-sized (pre-aggregated), so the sort-merge is
+    // over bucket-count rows, not raw data
+    val allowSmj = Set(
+      "q07_correct_fd", "q32_user_overlay", "q59_entity_corrector", "q67_corpus_pipeline",
+      "q119_series_ratio"
+    )
     val dir = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip.contains(name)) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
