@@ -808,6 +808,55 @@ object SparkEntry {
         .stats(t(s, dir, "events"), "user_id", "event_type", Seq("user_id", "event_id"))
     }),
 
+    // ---- Bloom pre-join pruning: filter built over the event users,
+    //      probed by doc ids; `actual` pins zero false negatives ----
+    "q131_bloom_prejoin" -> ((s, dir) => {
+      val users = t(s, dir, "events").select(col("user_id")).distinct()
+      val filter = graft.operators.Bloom.build(users, "user_id", m = 256, k = 3, salt = "bl")
+      val probed = graft.operators.Bloom
+        .mightContain(
+          t(s, dir, "documents").select(col("doc_id")),
+          "doc_id",
+          filter,
+          m = 256,
+          k = 3,
+          salt = "bl"
+        )
+      probed
+        .join(
+          users.select(col("user_id").as("__u"), lit(true).as("actual")),
+          probed("doc_id") === col("__u"),
+          "left"
+        )
+        .select(col("doc_id"), col("maybe"), coalesce(col("actual"), lit(false)).as("actual"))
+    }),
+
+    // ---- count-min sketch tiers: hourly sketches merged to days by
+    //      elementwise vector sum, point-estimated per user ----
+    "q132_cms_tiers" -> ((s, dir) => {
+      val d = 3; val w = 64
+      val ev = t(s, dir, "events")
+      val hourly = ev.groupBy(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("__h")
+      ).agg(graft.rollup.Cms.sketch(col("user_id"), d, w).as("cms"))
+      val daily = hourly
+        .groupBy(col("event_type"), date_trunc("day", col("__h")).as("day"))
+        .agg(graft.rollup.Cms.mergeSketch(col("cms"), d, w).as("cms"))
+      val truth = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .agg(count(lit(1)).as("true_n"))
+      truth
+        .join(broadcast(daily), Seq("event_type", "day"))
+        .select(
+          col("event_type"),
+          col("day"),
+          col("user_id"),
+          graft.rollup.Cms.estimate(col("cms"), col("user_id"), d, w).as("est"),
+          col("true_n")
+        )
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -3274,6 +3323,44 @@ object SparkEntry {
                 min(user_id) AS min_user_id, max(user_id) AS max_user_id,
                 min(event_id) AS min_event_id, max(event_id) AS max_event_id
          FROM z GROUP BY 1""",
+    // Bloom replay: identical salted md5 positions, identical 64-bit
+    // word packing via bit_or, identical all-k-bits membership test.
+    "q131_bloom_prejoin" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         ks AS (SELECT j FROM generate_series(0, 2) g(j)),
+         up AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|bl|' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS pos
+                FROM u, ks),
+         f AS (SELECT pos // 32 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+               FROM up GROUP BY 1),
+         p AS (SELECT doc_id, j,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|bl|' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS pos
+               FROM documents, ks),
+         hit AS (SELECT p.doc_id,
+                  min(CASE WHEN (COALESCE(f.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) <> 0
+                           THEN 1 ELSE 0 END) AS all_hit
+                 FROM p LEFT JOIN f ON p.pos // 32 = f.word_idx GROUP BY 1)
+         SELECT h.doc_id, h.all_hit = 1 AS maybe,
+                (u.user_id IS NOT NULL) AS actual
+         FROM hit h LEFT JOIN u ON h.doc_id = u.user_id""",
+    // CMS replay: identical salted md5 buckets; each estimate is the
+    // min over d rows of that (type, day, row, bucket) cell count —
+    // computed directly from the raw events, no sketch structure
+    // needed (an independent derivation of the identical integers).
+    "q132_cms_tiers" ->
+      """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day, user_id FROM events),
+         ks AS (SELECT j FROM generate_series(0, 2) g(j)),
+         cells AS (SELECT event_type, day, j,
+                    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|cms|' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bucket,
+                    count(*) AS c
+                   FROM b, ks GROUP BY 1, 2, 3, 4),
+         q AS (SELECT event_type, day, user_id, count(*) AS true_n FROM b GROUP BY 1, 2, 3),
+         qc AS (SELECT q.*, ks.j,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|cms|' || CAST(ks.j AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bucket
+                FROM q, ks)
+         SELECT qc.event_type, qc.day, qc.user_id,
+                CAST(min(cells.c) AS BIGINT) AS est, qc.true_n
+         FROM qc JOIN cells USING (event_type, day, j, bucket)
+         GROUP BY 1, 2, 3, 5""",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->
