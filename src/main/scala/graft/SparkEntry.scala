@@ -857,6 +857,39 @@ object SparkEntry {
         )
     }),
 
+    // ---- token-bucket limiter audit: burst cap 3 tokens, refill
+    //      0.5 token/s — the online limiter's semantics replayed via
+    //      the CUSUM-style closed form (no sequential fold) ----
+    "q133_token_bucket" -> ((s, dir) => {
+      graft.rollup.TokenBucket.audit(
+        t(s, dir, "events"),
+        "user_id",
+        "ts",
+        "event_id",
+        ratePerSecMicro = 500000L,
+        capMicro = 3000000L
+      )
+    }),
+
+    // ---- tier reconciliation: hourly tier vs a drifted rebuild
+    //      (simulated incremental loss) — only disagreements emit ----
+    "q134_tier_reconcile" -> ((s, dir) => {
+      def hourly(src: org.apache.spark.sql.DataFrame) =
+        src
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket_ts"))
+          .agg(
+            count(lit(1)).as("point_count"),
+            sum(col("value").cast("long")).as("vsum")
+          )
+      val ev = t(s, dir, "events")
+      graft.rollup.Reconcile.diff(
+        hourly(ev),
+        hourly(ev.filter(pmod(col("event_id"), lit(97)) =!= 0)),
+        Seq("event_type", "bucket_ts"),
+        Seq("point_count", "vsum")
+      )
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -3361,6 +3394,48 @@ object SparkEntry {
                 CAST(min(cells.c) AS BIGINT) AS est, qc.true_n
          FROM qc JOIN cells USING (event_type, day, j, bucket)
          GROUP BY 1, 2, 3, 5""",
+    // Token-bucket replay: identical per-key ordering, identical
+    // integer micro-token increments, identical prefix-sum minus
+    // running-min closed form.
+    "q133_token_bucket" ->
+      """WITH e AS (SELECT user_id AS series, ts, event_id AS order_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+         g AS (SELECT series, ts, order_id,
+                1000000 - 500000 * (es - COALESCE(lag(es) OVER (PARTITION BY series ORDER BY ts, order_id), es)) AS gi
+               FROM e),
+         s AS (SELECT series, ts, order_id,
+                CAST(sum(gi) OVER (PARTITION BY series ORDER BY ts, order_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS si
+               FROM g),
+         m AS (SELECT series, ts, order_id, si,
+                min(si) OVER (PARTITION BY series ORDER BY ts, order_id
+                              ROWS UNBOUNDED PRECEDING) AS mn
+               FROM s)
+         SELECT series, ts, order_id,
+                1000000 + si - mn AS deficit_micro,
+                (1000000 + si - mn) <= 3000000 AS allowed
+         FROM m""",
+    // Reconcile replay: identical hourly aggregates on both sides,
+    // identical IS-DISTINCT-FROM full-outer diff.
+    "q134_tier_reconcile" ->
+      """WITH a AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                count(*) AS point_count, CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS vsum
+              FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                count(*) AS point_count, CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS vsum
+              FROM events WHERE event_id % 97 <> 0 GROUP BY 1, 2)
+         SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+                COALESCE(a.bucket_ts, b.bucket_ts) AS bucket_ts,
+                a.point_count AS a_point_count, a.vsum AS a_vsum,
+                b.point_count AS b_point_count, b.vsum AS b_vsum,
+                CASE WHEN a.event_type IS NULL AND a.bucket_ts IS NULL THEN 'missing_a'
+                     WHEN b.event_type IS NULL AND b.bucket_ts IS NULL THEN 'missing_b'
+                     ELSE 'mismatch' END AS status
+         FROM a FULL OUTER JOIN b
+           ON a.event_type = b.event_type AND a.bucket_ts = b.bucket_ts
+         WHERE a.event_type IS NULL OR b.event_type IS NULL
+            OR (a.point_count IS DISTINCT FROM b.point_count)
+            OR (a.vsum IS DISTINCT FROM b.vsum)""",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->

@@ -132,9 +132,11 @@ class PlanSpec extends SparkSpec {
     // q119: FULL OUTER bucket alignment cannot broadcast by definition;
     // both sides are tier-sized (pre-aggregated), so the sort-merge is
     // over bucket-count rows, not raw data
+    // q134: FULL OUTER reconciliation join — cannot broadcast; both
+    // sides are tier-sized aggregates
     val allowSmj = Set(
       "q07_correct_fd", "q32_user_overlay", "q59_entity_corrector", "q67_corpus_pipeline",
-      "q119_series_ratio"
+      "q119_series_ratio", "q134_tier_reconcile"
     )
     val dir = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip.contains(name)) {
