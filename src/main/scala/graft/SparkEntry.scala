@@ -890,6 +890,27 @@ object SparkEntry {
       )
     }),
 
+    // ---- semi-structured props: JSON field extraction (codegen
+    //      get_json_object path) feeding an exact aggregate ----
+    "q135_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_k_over_50")
+        )
+    }),
+
+    // ---- stream-disorder audit: the measurement that sizes a
+    //      watermark (arrival order = event_id) ----
+    "q136_disorder" -> ((s, dir) => {
+      graft.rollup.Disorder.audit(t(s, dir, "events"), Seq("user_id"), "ts", "event_id")
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -3436,6 +3457,33 @@ object SparkEntry {
          WHERE a.event_type IS NULL OR b.event_type IS NULL
             OR (a.point_count IS DISTINCT FROM b.point_count)
             OR (a.vsum IS DISTINCT FROM b.vsum)""",
+    // JSON replay: identical path extraction and integer aggregates
+    // (DuckDB's json extension autoloads for json_extract_string).
+    "q135_json_props" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+                CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_k_over_50
+         FROM events GROUP BY 1""",
+    // Disorder replay: identical arrival-order running max (prior rows
+    // only), identical lateness integers and counts.
+    "q136_disorder" ->
+      """WITH e AS (SELECT user_id, event_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+         h AS (SELECT *, max(es) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+               FROM e),
+         l AS (SELECT user_id,
+                CASE WHEN hwm IS NOT NULL AND es < hwm THEN hwm - es ELSE 0 END AS late
+               FROM h)
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+                max(late) AS max_lateness_sec,
+                CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS p_ooo
+         FROM l GROUP BY 1""",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->
