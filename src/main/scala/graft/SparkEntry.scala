@@ -720,7 +720,14 @@ object SparkEntry {
     //      watermark+window path (the custom-state block builder is
     //      q58), flushed by watermark-advancing sentinel batches and
     //      pinned against the batch 1h aggregate ----
-    "q124_streaming_tier" -> ((s, dir) => {
+    "q124_streaming_tier" -> ((s0, dir) => {
+      // cloned session: streaming STATE partitioning follows
+      // spark.sql.shuffle.partitions, and every micro-batch commits one
+      // state file per partition — 8 partitions for 5 series keeps the
+      // state-store fan-out proportional to the data, not the session
+      // default (the real-cluster sizing rule this pins)
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
       import s.implicits._
       val pts = t(s, dir, "events")
         .select(col("event_type").as("series"), col("ts"), col("value").cast("long").as("value"))
