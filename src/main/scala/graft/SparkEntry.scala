@@ -918,6 +918,31 @@ object SparkEntry {
       graft.rollup.Disorder.audit(t(s, dir, "events"), Seq("user_id"), "ts", "event_id")
     }),
 
+    // ---- snapshot time travel: read the table AS OF snapshot 1
+    //      after a second append — the Iceberg read semantic ----
+    "q137_time_travel" -> ((s, dir) => {
+      val root = "/tmp/graft_q137/src"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q137")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 0), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 1), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.readRange(s, root, 0L, 1L)
+        .select("event_id", "user_id", "ts", "event_type")
+    }),
+
+    // ---- snapshot incremental (CDC) read: exactly the rows snapshot 2
+    //      added, none of snapshot 1's — the consumer-diff semantic the
+    //      continuous rollup builds on ----
+    "q138_incremental_read" -> ((s, dir) => {
+      val root = "/tmp/graft_q138/src"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q138")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 0), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 1), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.readRange(s, root, 1L, 2L)
+        .select("event_id", "user_id", "ts", "event_type")
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -3491,6 +3516,14 @@ object SparkEntry {
                 CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS p_ooo
          FROM l GROUP BY 1""",
+    // Time-travel replay: the as-of-snapshot-1 read is exactly the
+    // first append's rows.
+    "q137_time_travel" ->
+      "SELECT event_id, user_id, ts, event_type FROM events WHERE event_id % 2 = 0",
+    // Incremental replay: the (1, 2] diff is exactly the second
+    // append's rows.
+    "q138_incremental_read" ->
+      "SELECT event_id, user_id, ts, event_type FROM events WHERE event_id % 2 = 1",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->

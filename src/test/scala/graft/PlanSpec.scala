@@ -106,7 +106,10 @@ class PlanSpec extends SparkSpec {
       "q61_experiment_grid",
       // construction runs a full streaming query (watermark+window
       // path) — audited by its oracle + StreamingRollupSpec
-      "q124_streaming_tier"
+      "q124_streaming_tier",
+      // construction writes a snapshot store twice (q57-style side
+      // effects) — audited by their oracles + SnapshotSpec
+      "q137_time_travel", "q138_incremental_read"
     )
     // broadcast-model or tiny-side joins where a nested-loop is the
     // right plan: brute-force/centroid crosses (exactness baselines),
