@@ -943,6 +943,82 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "event_type")
     }),
 
+    // ---- streaming stream-stream join: purchase <- view attribution
+    //      within a 1-hour horizon. Both sides watermarked so the join
+    //      state is BOUNDED: a view older than watermark + horizon can
+    //      never match a future purchase and is evicted — the property
+    //      that makes an infinite two-stream join runnable at all. On
+    //      bounded input the result must equal the batch range join
+    //      (the oracle). Inner join + append mode: matches emit the
+    //      micro-batch they complete, no sentinel flush needed. ----
+    "q139_stream_stream_join" -> ((s0, dir) => {
+      val s = s0.newSession()
+      // state-store fan-out proportional to the key space, not the
+      // session default (same sizing rule q124 pins)
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      def side(tpe: String) = ev
+        .filter(col("event_type") === tpe)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[(Long, java.sql.Timestamp, Long)]
+        .collect()
+        .toSeq
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val msV = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val msB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val v = msV.toDF().toDF("view_id", "view_ts", "user_id").withWatermark("view_ts", "1 hour")
+      val b = msB.toDF().toDF("purchase_id", "purchase_ts", "buyer_id").withWatermark("purchase_ts", "1 hour")
+      val joined = v.join(
+        b,
+        col("user_id") === col("buyer_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR")
+      )
+      val sink = s"q139_sink_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      msV.addData(side("view"))
+      msB.addData(side("purchase"))
+      q.processAllAvailable()
+      val out = s.table(sink).select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+      q.stop()
+      out
+    }),
+
+    // ---- streaming at-least-once ingestion dedup: the crawl-feed
+    //      duplicates (deterministic re-delivery of every 3rd and 7th
+    //      event) collapse via dropDuplicatesWithinWatermark — state
+    //      bounded by the disorder horizon, unlike dropDuplicates whose
+    //      key state grows with the stream forever. Duplicate rows are
+    //      byte-identical, so first-arrival nondeterminism is
+    //      invisible and the result equals batch DISTINCT (oracle). ----
+    "q140_stream_dedup" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val redelivered = ev
+        .unionAll(ev.filter(pmod(col("event_id"), lit(3)) === 0))
+        .unionAll(ev.filter(pmod(col("event_id"), lit(7)) === 0))
+        .as[(Long, java.sql.Timestamp, Long, String)]
+        .collect()
+        .toSeq
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val deduped = ms
+        .toDF()
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val sink = s"q140_sink_${System.nanoTime()}"
+      val q = deduped.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      ms.addData(redelivered)
+      q.processAllAvailable()
+      val out = s.table(sink).select("event_id", "ts", "user_id", "event_type")
+      q.stop()
+      out
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -3524,6 +3600,21 @@ object SparkEntry {
     // append's rows.
     "q138_incremental_read" ->
       "SELECT event_id, user_id, ts, event_type FROM events WHERE event_id % 2 = 1",
+    // Stream-stream join replay: on bounded input the watermarked
+    // streaming inner join equals the batch range join — exact ids and
+    // timestamps, horizon arithmetic in exact micros on both engines.
+    "q139_stream_stream_join" ->
+      """SELECT b.event_id AS purchase_id, v.event_id AS view_id, v.user_id,
+                b.ts AS purchase_ts, v.ts AS view_ts
+         FROM events v JOIN events b
+           ON v.user_id = b.user_id
+          AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+         WHERE v.event_type = 'view' AND b.event_type = 'purchase'""",
+    // Streaming dedup replay: duplicates are byte-identical
+    // re-deliveries, so watermarked dedup on the key equals batch
+    // DISTINCT over the original stream.
+    "q140_stream_dedup" ->
+      "SELECT event_id, ts, user_id, event_type FROM events",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->

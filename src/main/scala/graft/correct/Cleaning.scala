@@ -18,6 +18,11 @@ case class CleaningConfig(
     // M1's TRAINED form (auto_instance): per-column seeded
     // RandomForest over the error-free rows — see MlImputer
     useMlImputer: Boolean = false,
+    // MlImputer model knobs (the deterministic analogue of the
+    // reference's AutoGluon per-dataset auto-tuning)
+    mlImputerTrees: Int = 50,
+    mlImputerDepth: Int = 14,
+    mlImputerSubset: String = "auto",
     // cross-row entity-match corrector — the deterministic in-table
     // share of the reference's llm_master member (Correctors.entityCorrector)
     useEntity: Boolean = false,
@@ -157,7 +162,19 @@ object Cleaning {
         Some(Correctors.vicinityCorrectorPdep(df, correctorErrors, rowId, cols, cfg.nBestPdeps))
       else None,
       if (cfg.useImputer) Some(Correctors.frequencyImputer(df, correctorErrors, rowId, cols)) else None,
-      if (cfg.useMlImputer) Some(MlImputer.suggest(df, rowId, cols, correctorErrors)) else None,
+      if (cfg.useMlImputer)
+        Some(
+          MlImputer.suggest(
+            df,
+            rowId,
+            cols,
+            correctorErrors,
+            numTrees = cfg.mlImputerTrees,
+            maxDepth = cfg.mlImputerDepth,
+            featureSubsetStrategy = cfg.mlImputerSubset
+          )
+        )
+      else None,
       if (cfg.useEntity)
         Some(Correctors.entityCorrector(df, correctorErrors, rowId, cols, cfg.entityMaxTokenDf))
       else None,

@@ -40,7 +40,9 @@ object MlImputer {
       detected: DataFrame,
       seed: Long = 42L,
       minClassCount: Int = 10,
-      numTrees: Int = 50
+      numTrees: Int = 50,
+      maxDepth: Int = 14,
+      featureSubsetStrategy: String = "auto"
   ): DataFrame = {
     val spark = df.sparkSession
     val errorRows = detected.select("row_id").distinct()
@@ -191,7 +193,8 @@ object MlImputer {
           // the default depth 5 underfits many-class targets (the
           // letter table's 26 classes); depth 14 matches the
           // reference imputer's effectively-unbounded trees
-          .setMaxDepth(14)
+          .setMaxDepth(maxDepth)
+          .setFeatureSubsetStrategy(featureSubsetStrategy)
           .setSeed(seed)
         val train = featurize(clean.filter(col(target).isin(keep.toIndexedSeq: _*)))
           .localCheckpoint(true) // tree training iterates the featurized plan many times

@@ -107,6 +107,9 @@ class PlanSpec extends SparkSpec {
       // construction runs a full streaming query (watermark+window
       // path) — audited by its oracle + StreamingRollupSpec
       "q124_streaming_tier",
+      // construction runs full streaming queries (stream-stream join /
+      // watermarked dedup) — audited by their oracles
+      "q139_stream_stream_join", "q140_stream_dedup",
       // construction writes a snapshot store twice (q57-style side
       // effects) — audited by their oracles + SnapshotSpec
       "q137_time_travel", "q138_incremental_read"
