@@ -1019,6 +1019,38 @@ object SparkEntry {
       out
     }),
 
+    // ---- snapshot schema evolution: a later snapshot ADDS a column;
+    //      the range read serves the union schema from manifest
+    //      METADATA alone (no footer scans), older files returning
+    //      null for the added column ----
+    "q141_schema_evolution" -> ((s, dir) => {
+      val root = "/tmp/graft_q141/src"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q141")
+      val ev = t(s, dir, "events")
+      graft.snapshot.SnapshotStore.append(
+        root,
+        ev.filter(pmod(col("event_id"), lit(2)) === 0).select("event_id", "user_id", "ts", "event_type"),
+        tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.append(
+        root,
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select("event_id", "user_id", "ts", "event_type", "value"),
+        tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore
+        .read(s, root)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    }),
+
+    // ---- audience overlap, sketch path: HLL inclusion-exclusion over
+    //      per-(bucket, segment) sketches — the pair join runs on the
+    //      aggregated sketch relation (buckets x segments rows,
+    //      independent of member cardinality), where q93's exact path
+    //      ships a wire row per member-segment. Exact-mode sketches at
+    //      this cardinality => must equal q93's exact counts. ----
+    "q142_overlap_sketch" -> ((s, dir) => {
+      graft.rollup.Overlap.pairwiseSketch(t(s, dir, "events"), "event_type", "user_id", "ts", "day")
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -3615,6 +3647,30 @@ object SparkEntry {
     // DISTINCT over the original stream.
     "q140_stream_dedup" ->
       "SELECT event_id, ts, user_id, event_type FROM events",
+    // Schema-evolution replay: snapshot 1's rows (even ids) predate the
+    // added column and read back null; snapshot 2's carry it.
+    "q141_schema_evolution" ->
+      """SELECT event_id, user_id, ts, event_type, CAST(NULL AS DOUBLE) AS value
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT event_id, user_id, ts, event_type, value
+         FROM events WHERE event_id % 2 = 1""",
+    // Sketch-overlap replay: exact-mode HLL estimates equal true
+    // distinct counts at this cardinality, so the oracle is the exact
+    // intersection (q93's SQL verbatim).
+    "q142_overlap_sketch" ->
+      """WITH m AS (SELECT DISTINCT date_trunc('day', ts) AS bucket_ts, event_type AS seg, user_id AS member
+              FROM events),
+         s AS (SELECT bucket_ts, seg, count(*) AS n FROM m GROUP BY 1, 2),
+         b AS (SELECT a.bucket_ts, a.seg AS seg_a, bb.seg AS seg_b, count(*) AS n_both
+               FROM m a JOIN m bb ON a.bucket_ts = bb.bucket_ts AND a.member = bb.member
+               WHERE a.seg < bb.seg GROUP BY 1, 2, 3)
+         SELECT b.bucket_ts, seg_a, seg_b,
+                CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+                CAST(n_both AS BIGINT) AS n_both,
+                CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE) AS jaccard
+         FROM b JOIN s sa ON sa.bucket_ts = b.bucket_ts AND sa.seg = seg_a
+                JOIN s sb ON sb.bucket_ts = b.bucket_ts AND sb.seg = seg_b""",
     // Span replay: identical position windows, identical md5-prefix
     // 60-bit span hashes, identical group stats and coordinates.
     "q106_span_dedup" ->

@@ -113,6 +113,11 @@ object SnapshotStore {
     m.put("snapshotId", id)
     m.put("parentId", parent)
     m.put("rows", rows)
+    // the FILE schema (part_day is a partition path token, never a
+    // file column) — recorded per snapshot so readers can evolve the
+    // table schema from METADATA alone (the Iceberg model), instead of
+    // a mergeSchema footer scan of every file at 100 TB
+    m.put("schemaJson", df.schema.json)
     val dirs: ArrayNode = m.putArray("dataDirs")
     dirs.add(dataDir)
     tsCol.foreach { ts =>
@@ -196,6 +201,9 @@ object SnapshotStore {
     m.put("parentId", 0L)
     m.put("rows", rows)
     m.put("compacted", true)
+    // the compacted rewrite materializes the merged schema: every file
+    // below the rebase point now carries the union schema
+    m.put("schemaJson", df.schema.json)
     val dirs: ArrayNode = m.putArray("dataDirs")
     dirs.add(compactDir)
     tsCols.headOption.foreach { ts =>
@@ -296,11 +304,57 @@ object SnapshotStore {
       }
   }
 
-  /** Incremental read: rows added by snapshots in (from, to]. */
+  /** Snapshot ids a range read actually serves: in-range ids with
+    * everything below the newest compacted rebase dropped (the same
+    * supersede rule `resolveDirs` applies to data dirs).
+    */
+  private def effectiveIds(root: String, fromExclusive: Long, toInclusive: Long): Seq[Long] = {
+    val inRange = snapshotIds(root).filter(id => id > fromExclusive && id <= toInclusive)
+    val compactedMax = inRange.filter(id => manifest(root, id).has("compacted")).maxOption
+    inRange.filter(id => compactedMax.forall(id >= _))
+  }
+
+  /** Union of the per-snapshot manifest schemas, in first-seen column
+    * order. ADD-only evolution: a column may appear in later snapshots
+    * (older files read it as null), but a type change raises — silent
+    * coercion would corrupt downstream aggregates. All fields read as
+    * nullable (pre-evolution files have no values for added columns).
+    */
+  private def mergeSchemas(schemas: Seq[org.apache.spark.sql.types.StructType]): org.apache.spark.sql.types.StructType = {
+    val out = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField]()
+    for (s <- schemas; f <- s.fields) out.get(f.name) match {
+      case None => out(f.name) = f.copy(nullable = true)
+      case Some(prev) =>
+        require(
+          prev.dataType == f.dataType,
+          s"schema evolution supports ADDING columns only: column '${f.name}' changes type " +
+            s"${prev.dataType.simpleString} -> ${f.dataType.simpleString}"
+        )
+    }
+    org.apache.spark.sql.types.StructType(out.values.toSeq)
+  }
+
+  /** Incremental read: rows added by snapshots in (from, to].
+    *
+    * Schema evolution (ADD-only): when every snapshot in the range
+    * recorded its schema, the read uses the METADATA-merged union
+    * schema — files from snapshots predating an added column return
+    * null for it, with zero footer scans (`mergeSchema` would read
+    * every file's footer, a non-starter at 100 TB). Legacy manifests
+    * without a recorded schema fall back to plain inference.
+    */
   def readRange(spark: SparkSession, root: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
     val dirs = resolveDirs(root, fromExclusive, toInclusive)
     require(dirs.nonEmpty, s"no data dirs in snapshot range ($fromExclusive, $toInclusive] of $root")
-    spark.read.parquet(dirs: _*)
+    val schemas = effectiveIds(root, fromExclusive, toInclusive)
+      .map(id => Option(manifest(root, id).get("schemaJson")).map(_.asText()))
+    if (schemas.nonEmpty && schemas.forall(_.isDefined)) {
+      val merged = mergeSchemas(
+        schemas.flatten.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[org.apache.spark.sql.types.StructType])
+      )
+      spark.read.schema(merged).parquet(dirs: _*)
+    } else spark.read.parquet(dirs: _*)
   }
 
 }

@@ -27,6 +27,20 @@ class OverlapSpec extends SparkSpec {
     assert(!got.contains(("x", "z")) && !got.contains(("y", "z")))
   }
 
+  test("sketch path equals the exact path in exact mode") {
+    val exact = Overlap
+      .pairwise(events, "seg", "member", "ts", "day")
+      .orderBy("bucket_ts", "seg_a", "seg_b")
+      .collect()
+      .toSeq
+    val sketch = Overlap
+      .pairwiseSketch(events, "seg", "member", "ts", "day")
+      .orderBy("bucket_ts", "seg_a", "seg_b")
+      .collect()
+      .toSeq
+    assert(sketch == exact)
+  }
+
   test("buckets separate: the same pair recounts per day") {
     val twoDays = events.union(
       Seq(("x", 9L, 86400L), ("y", 9L, 86500L))

@@ -33,6 +33,32 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.readRange(spark, root, 1L, 2L).count() == b2.count())
   }
 
+  test("schema evolution: added columns read back null for old snapshots, type changes raise") {
+    val root = tmpDir("snapevo")
+    val b1 = events.filter(col("event_id") < 100).select("event_id", "ts", "event_type")
+    val b2 = events
+      .filter(col("event_id") >= 100 && col("event_id") < 200)
+      .select("event_id", "ts", "event_type", "value")
+    SnapshotStore.append(root, b1, tsCol = Some("ts"))
+    SnapshotStore.append(root, b2, tsCol = Some("ts"))
+    val got = SnapshotStore.read(spark, root)
+    // union schema in first-seen order, from manifest metadata alone
+    assert(got.columns.toSeq == Seq("event_id", "ts", "event_type", "value"))
+    assert(got.count() == b1.count() + b2.count())
+    assert(got.filter(col("value").isNull).count() == b1.count())
+    assert(got.filter(col("value").isNotNull).count() == b2.count())
+    // a range read that predates the evolution serves the old schema
+    assert(SnapshotStore.readRange(spark, root, 0L, 1L).columns.toSeq ==
+      Seq("event_id", "ts", "event_type"))
+    // ADD-only: a type change is a loud error, never a silent coercion
+    val b3 = events
+      .filter(col("event_id") >= 200 && col("event_id") < 210)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value").cast("string"))
+    SnapshotStore.append(root, b3, tsCol = Some("ts"))
+    val e = intercept[IllegalArgumentException](SnapshotStore.read(spark, root).collect())
+    assert(e.getMessage.contains("ADDING columns only"))
+  }
+
   test("incremental tier update over two snapshots == one-pass recompute") {
     val root = tmpDir("snap_src")
     val tiers = tmpDir("snap_tiers")
