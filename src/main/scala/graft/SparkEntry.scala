@@ -1051,6 +1051,26 @@ object SparkEntry {
       graft.rollup.Overlap.pairwiseSketch(t(s, dir, "events"), "event_type", "user_id", "ts", "day")
     }),
 
+    // ---- tier router: the QUERY side of the cascade — a (range,
+    //      step) request is served from the COARSEST stored tier whose
+    //      width divides the step (epoch-anchored floors nest exactly),
+    //      range-pruned and re-summed to the step; raw data is never
+    //      touched. A 2h step must route to the 1h tier. ----
+    "q143_tier_router" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def tierOf(tier: String) = graft.rollup.Rollup
+        .fromRaw(ev, Seq("event_type"), "ts", tier, col("value").cast("long"))
+      val (tier, served) = graft.rollup.TierRouter.serve(
+        tierOf,
+        Seq("event_type"),
+        stepSeconds = 7200L,
+        fromInclusive = java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        toExclusive = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      )
+      require(tier == "1h", s"router must serve a 2h step from the 1h tier, chose $tier")
+      served
+    }),
+
     // ---- dedup: SimHash fingerprints (rows-only check) ----
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
@@ -3655,6 +3675,19 @@ object SparkEntry {
          UNION ALL
          SELECT event_id, user_id, ts, event_type, value
          FROM events WHERE event_id % 2 = 1""",
+    // Tier-router replay: serving a 2h step from the 1h tier and
+    // re-summing must equal bucketing RAW data at the step directly
+    // (epoch-anchored floors nest) — the oracle computes from raw; the
+    // [from, to) bounds are step-aligned so the tier-bucket range
+    // filter equals the raw ts range filter.
+    "q143_tier_router" ->
+      """SELECT event_type,
+                make_timestamp(CAST(floor(epoch(ts) / 7200) * 7200 * 1000000 AS BIGINT)) AS bucket_ts,
+                count(*) AS point_count,
+                CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS byte_size
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+         GROUP BY 1, 2""",
     // Sketch-overlap replay: exact-mode HLL estimates equal true
     // distinct counts at this cardinality, so the oracle is the exact
     // intersection (q93's SQL verbatim).
