@@ -1051,6 +1051,23 @@ object SparkEntry {
       graft.rollup.Overlap.pairwiseSketch(t(s, dir, "events"), "event_type", "user_id", "ts", "day")
     }),
 
+    // ---- merge-on-read row deletes (Iceberg v2 equality deletes):
+    //      a GDPR-style key purge appends DELETE KEYS as a snapshot —
+    //      no data file rewritten; the read anti-joins with snapshot
+    //      ordering, so a LATER re-insert of a deleted key survives ----
+    "q144_row_deletes" -> ((s, dir) => {
+      val root = "/tmp/graft_q144/src"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q144")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 0), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 1), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore
+        .appendDeletes(root, ev.filter(pmod(col("event_id"), lit(10)) === 3).select("event_id"))
+      graft.snapshot.SnapshotStore
+        .append(root, ev.filter(pmod(col("event_id"), lit(20)) === 3), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.read(s, root).select("event_id", "user_id", "ts", "event_type")
+    }),
+
     // ---- tier router: the QUERY side of the cascade — a (range,
     //      step) request is served from the COARSEST stored tier whose
     //      width divides the step (epoch-anchored floors nest exactly),
@@ -3675,6 +3692,13 @@ object SparkEntry {
          UNION ALL
          SELECT event_id, user_id, ts, event_type, value
          FROM events WHERE event_id % 2 = 1""",
+    // Merge-on-read delete replay: keys id%10==3 deleted at snapshot 3
+    // erase snapshots 1-2's rows; snapshot 4's re-insert (id%20==3, a
+    // subset of the deleted keys) postdates the delete and survives.
+    "q144_row_deletes" ->
+      """SELECT event_id, user_id, ts, event_type FROM events WHERE event_id % 10 <> 3
+         UNION ALL
+         SELECT event_id, user_id, ts, event_type FROM events WHERE event_id % 20 = 3""",
     // Tier-router replay: serving a 2h step from the 1h tier and
     // re-summing must equal bucketing RAW data at the step directly
     // (epoch-anchored floors nest) — the oracle computes from raw; the

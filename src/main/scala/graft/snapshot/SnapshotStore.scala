@@ -274,20 +274,31 @@ object SnapshotStore {
       wantedDays: Option[Set[String]] = None,
       alwaysInclude: String => Boolean = _ => false
   ): Seq[String] = {
-    val inRange = snapshotIds(root).filter(id => id > fromExclusive && id <= toInclusive)
-    // a compacted manifest supersedes every earlier snapshot: ignore
-    // ids below the newest compacted id even if their manifests still
-    // exist (crash-window leftovers must never double-count), and
-    // refuse diff reads that would need the erased granularity
-    val compactedMax = inRange.filter(id => manifest(root, id).has("compacted")).maxOption
-    compactedMax.foreach { c =>
-      require(
-        fromExclusive == 0L || fromExclusive >= c,
-        s"snapshots up to $c were compacted: incremental reads from $fromExclusive are gone"
-      )
-    }
-    inRange
-      .filter(id => compactedMax.forall(id >= _))
+    val ids = effectiveIds(root, fromExclusive, toInclusive)
+    // dir-level consumers (the continuous rollup's pruned scans) fold
+    // data files directly and would aggregate deleted rows as live —
+    // they must not run over a merge-on-read store until the deletes
+    // are materialized
+    val delIds = ids.filter(id => manifest(root, id).has("deleteKeyCols"))
+    require(
+      delIds.isEmpty,
+      s"snapshots ${delIds.mkString(", ")} carry merge-on-read deletes: directory-level reads " +
+        "cannot apply them — read through readRange (delete-aware) or compact() to materialize first"
+    )
+    expandDataDirs(root, ids, wantedDays, alwaysInclude)
+  }
+
+  /** Data-dir expansion for already-filtered snapshot ids (delete
+    * manifests' key files are NOT data and are skipped).
+    */
+  private def expandDataDirs(
+      root: String,
+      ids: Seq[Long],
+      wantedDays: Option[Set[String]],
+      alwaysInclude: String => Boolean
+  ): Seq[String] =
+    ids
+      .filterNot(id => manifest(root, id).has("deleteKeyCols"))
       .flatMap { id =>
         val m = manifest(root, id)
         val dataDirs = m.get("dataDirs").elements().asScala.map(_.asText()).toSeq
@@ -302,7 +313,6 @@ object SnapshotStore {
           for (dir <- dataDirs; d <- kept) yield s"$dir/part_day=$d"
         }
       }
-  }
 
   /** Snapshot ids a range read actually serves: in-range ids with
     * everything below the newest compacted rebase dropped (the same
@@ -310,7 +320,17 @@ object SnapshotStore {
     */
   private def effectiveIds(root: String, fromExclusive: Long, toInclusive: Long): Seq[Long] = {
     val inRange = snapshotIds(root).filter(id => id > fromExclusive && id <= toInclusive)
+    // a compacted manifest supersedes every earlier snapshot: ignore
+    // ids below the newest compacted id even if their manifests still
+    // exist (crash-window leftovers must never double-count), and
+    // refuse diff reads that would need the erased granularity
     val compactedMax = inRange.filter(id => manifest(root, id).has("compacted")).maxOption
+    compactedMax.foreach { c =>
+      require(
+        fromExclusive == 0L || fromExclusive >= c,
+        s"snapshots up to $c were compacted: incremental reads from $fromExclusive are gone"
+      )
+    }
     inRange.filter(id => compactedMax.forall(id >= _))
   }
 
@@ -334,27 +354,105 @@ object SnapshotStore {
     org.apache.spark.sql.types.StructType(out.values.toSeq)
   }
 
+  /** Merge-on-read EQUALITY DELETES (the Iceberg v2 shape): the keys
+    * to delete are appended as their own snapshot — no data file is
+    * rewritten (a GDPR url purge over 100 TB must not rewrite 100 TB).
+    * Readers apply the delete as an anti-join; a delete erases only
+    * rows written BEFORE it (a later re-insert of the same key
+    * survives — true MERGE-ON-READ ordering, via each row's snapshot
+    * id recovered from its file path). `compact()` materializes
+    * deletes into rewritten files and drops the delete manifests.
+    *
+    * Consumers that fold data DIRS directly (the continuous rollup's
+    * pruned incremental scans) cannot apply anti-joins — `resolveDirs`
+    * raises while unmaterialized deletes exist, so a tier update over
+    * a merge-on-read store fails loudly instead of resurrecting
+    * deleted rows. Incremental diff reads are likewise undefined over
+    * pending deletes (a diff cannot express "remove") and raise.
+    */
+  def appendDeletes(root: String, keys: DataFrame): Long = {
+    val parent = currentSnapshotId(root)
+    val id = parent + 1
+    val dataDir = s"$root/data/s$id"
+    val obs = Observation(s"graft_delete_s$id")
+    keys.observe(obs, count(lit(1)).as("rows")).write.mode("errorifexists").parquet(dataDir)
+    val rows = obs.get("rows").asInstanceOf[Long]
+    val m: ObjectNode = mapper.createObjectNode()
+    m.put("snapshotId", id)
+    m.put("parentId", parent)
+    m.put("rows", rows)
+    val kc: ArrayNode = m.putArray("deleteKeyCols")
+    keys.columns.foreach(kc.add)
+    val dirs: ArrayNode = m.putArray("dataDirs")
+    dirs.add(dataDir)
+    atomicWrite(snapDir(root).resolve(s"v$id.json"), mapper.writeValueAsString(m))
+    atomicWrite(snapDir(root).resolve("CURRENT"), id.toString)
+    id
+  }
+
   /** Incremental read: rows added by snapshots in (from, to].
     *
-    * Schema evolution (ADD-only): when every snapshot in the range
-    * recorded its schema, the read uses the METADATA-merged union
-    * schema — files from snapshots predating an added column return
-    * null for it, with zero footer scans (`mergeSchema` would read
-    * every file's footer, a non-starter at 100 TB). Legacy manifests
-    * without a recorded schema fall back to plain inference.
+    * Schema evolution (ADD-only): when every data snapshot in the
+    * range recorded its schema, the read uses the METADATA-merged
+    * union schema — files from snapshots predating an added column
+    * return null for it, with zero footer scans (`mergeSchema` would
+    * read every file's footer, a non-starter at 100 TB). Legacy
+    * manifests without a recorded schema fall back to plain inference.
+    *
+    * Merge-on-read deletes (see [[appendDeletes]]): full reads
+    * anti-join the delete keys with snapshot-ordering semantics;
+    * incremental reads over pending deletes raise.
     */
   def readRange(spark: SparkSession, root: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
-    val dirs = resolveDirs(root, fromExclusive, toInclusive)
+    val ids = effectiveIds(root, fromExclusive, toInclusive)
+    val (delIds, dataIds) = ids.partition(id => manifest(root, id).has("deleteKeyCols"))
+    require(
+      delIds.isEmpty || fromExclusive == 0L,
+      s"snapshots ${delIds.mkString(", ")} carry merge-on-read deletes: an incremental diff " +
+        "cannot express row removal — read from snapshot 0 or compact() to materialize first"
+    )
+    val dirs = expandDataDirs(root, dataIds, None, _ => false)
     require(dirs.nonEmpty, s"no data dirs in snapshot range ($fromExclusive, $toInclusive] of $root")
-    val schemas = effectiveIds(root, fromExclusive, toInclusive)
-      .map(id => Option(manifest(root, id).get("schemaJson")).map(_.asText()))
-    if (schemas.nonEmpty && schemas.forall(_.isDefined)) {
-      val merged = mergeSchemas(
-        schemas.flatten.map(j =>
-          org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[org.apache.spark.sql.types.StructType])
+    val schemas = dataIds.map(id => Option(manifest(root, id).get("schemaJson")).map(_.asText()))
+    val data =
+      if (schemas.nonEmpty && schemas.forall(_.isDefined)) {
+        val merged = mergeSchemas(
+          schemas.flatten.map(j =>
+            org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[org.apache.spark.sql.types.StructType])
+        )
+        spark.read.schema(merged).parquet(dirs: _*)
+      } else spark.read.parquet(dirs: _*)
+    if (delIds.isEmpty) data
+    else {
+      val keyColsPer = delIds.map(id =>
+        manifest(root, id).get("deleteKeyCols").elements().asScala.map(_.asText()).toSeq)
+      require(
+        keyColsPer.distinct.size == 1,
+        s"merge-on-read deletes disagree on key columns: ${keyColsPer.distinct.mkString(" vs ")}"
       )
-      spark.read.schema(merged).parquet(dirs: _*)
-    } else spark.read.parquet(dirs: _*)
+      val keyCols = keyColsPer.head
+      // each data row's writing snapshot, from its file path
+      // (data/s<id>/ or a compacted base data/c<id>/) — a delete only
+      // applies to rows written before it
+      val withSnap = data.withColumn(
+        "__graft_row_snap",
+        regexp_extract(input_file_name(), "/data/[sc](\\d+)/", 1).cast("long"))
+      val deletes = delIds
+        .map { id =>
+          val dir = manifest(root, id).get("dataDirs").elements().asScala.map(_.asText()).toSeq
+          spark.read
+            .parquet(dir: _*)
+            .select(keyCols.map(col): _*)
+            .withColumn("__graft_del_snap", lit(id))
+        }
+        .reduce(_ unionByName _)
+      val d = withSnap.alias("d")
+      val x = deletes.alias("x")
+      val cond = keyCols
+        .map(k => col(s"d.$k") <=> col(s"x.$k"))
+        .reduce(_ && _) && col("x.__graft_del_snap") > col("d.__graft_row_snap")
+      d.join(x, cond, "left_anti").drop("__graft_row_snap")
+    }
   }
 
 }

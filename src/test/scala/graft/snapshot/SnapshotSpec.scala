@@ -59,6 +59,29 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("ADDING columns only"))
   }
 
+  test("merge-on-read deletes: ordering semantics, loud incremental/dir guards, compaction materializes") {
+    val root = tmpDir("snapdel")
+    val ev = events.select("event_id", "user_id", "ts", "event_type")
+    SnapshotStore.append(root, ev.filter(col("event_id") < 100), tsCol = Some("ts")) // s1
+    SnapshotStore.appendDeletes(root, ev.filter(col("event_id") < 10).select("event_id")) // s2
+    SnapshotStore.append(root, ev.filter(col("event_id") < 5), tsCol = Some("ts")) // s3: re-insert subset
+    val got = SnapshotStore.read(spark, root)
+    // ids 5-9 deleted; 0-4 re-inserted AFTER the delete and survive
+    assert(got.count() == 95)
+    assert(got.filter(col("event_id") >= 5 && col("event_id") < 10).count() == 0)
+    assert(got.filter(col("event_id") < 5).count() == 5)
+    // a diff read over pending deletes cannot express removal — loud
+    val e1 = intercept[IllegalArgumentException](SnapshotStore.readRange(spark, root, 1L, 3L))
+    assert(e1.getMessage.contains("merge-on-read deletes"))
+    // dir-level consumers (tier updates) must not fold deleted rows — loud
+    val e2 = intercept[IllegalArgumentException](SnapshotStore.resolveDirs(root, 0L, 3L))
+    assert(e2.getMessage.contains("merge-on-read deletes"))
+    // compaction materializes: same rows, delete manifests gone, dir reads legal again
+    SnapshotStore.compact(spark, root, 3L)
+    assert(SnapshotStore.read(spark, root).count() == 95)
+    assert(SnapshotStore.resolveDirs(root, 0L, 3L).nonEmpty)
+  }
+
   test("incremental tier update over two snapshots == one-pass recompute") {
     val root = tmpDir("snap_src")
     val tiers = tmpDir("snap_tiers")
