@@ -63,12 +63,35 @@ object SnapshotStore {
   private def manifest(root: String, id: Long): JsonNode =
     mapper.readTree(Files.readAllBytes(snapDir(root).resolve(s"v$id.json")))
 
-  /** Atomic write: temp file in the same directory + ATOMIC_MOVE. */
-  private def atomicWrite(target: Path, content: String): Unit = {
+  /** Atomic write: temp file in the same directory + ATOMIC_MOVE.
+    * With `replace = false` the move is the COMMIT of an optimistic-
+    * concurrency protocol (the Iceberg CAS in miniature): if another
+    * writer committed the same snapshot id first, the move fails and
+    * we raise — a silent REPLACE would orphan the winner's data dir
+    * and lose its rows.
+    */
+  private def atomicWrite(target: Path, content: String, replace: Boolean = true): Unit = {
     Files.createDirectories(target.getParent)
     val tmp = Files.createTempFile(target.getParent, ".tmp", ".json")
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (replace)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    else {
+      // ATOMIC_MOVE maps to rename(2), which silently REPLACES an
+      // existing target on POSIX — useless as a CAS. link(2) is the
+      // atomic create-if-absent: the target appears fully written or
+      // the call fails with EEXIST.
+      try Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent append: snapshot manifest $target was committed by another writer — " +
+              "re-read the current snapshot id and retry the append"
+          )
+      }
+      Files.deleteIfExists(tmp)
+    }
   }
 
   /** Append `df` as a new snapshot; returns the new snapshot id.
@@ -125,7 +148,7 @@ object SnapshotStore {
       val days: ArrayNode = m.putArray("days")
       listDayTokens(dataDir).foreach(days.add)
     }
-    atomicWrite(snapDir(root).resolve(s"v$id.json"), mapper.writeValueAsString(m))
+    atomicWrite(snapDir(root).resolve(s"v$id.json"), mapper.writeValueAsString(m), replace = false)
     atomicWrite(snapDir(root).resolve("CURRENT"), id.toString)
     id
   }
@@ -385,7 +408,7 @@ object SnapshotStore {
     keys.columns.foreach(kc.add)
     val dirs: ArrayNode = m.putArray("dataDirs")
     dirs.add(dataDir)
-    atomicWrite(snapDir(root).resolve(s"v$id.json"), mapper.writeValueAsString(m))
+    atomicWrite(snapDir(root).resolve(s"v$id.json"), mapper.writeValueAsString(m), replace = false)
     atomicWrite(snapDir(root).resolve("CURRENT"), id.toString)
     id
   }

@@ -59,6 +59,18 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("ADDING columns only"))
   }
 
+  test("optimistic concurrency: a racing append fails its manifest CAS instead of overwriting") {
+    val root = tmpDir("snapcas")
+    val ev = events.select("event_id", "event_type").limit(10)
+    SnapshotStore.append(root, ev)
+    // another writer commits snapshot 2 between our id computation and
+    // our manifest move: simulate by pre-placing its manifest
+    Files.write(Paths.get(root, "_snapshots", "v2.json"), "{\"snapshotId\":2}".getBytes)
+    intercept[java.util.ConcurrentModificationException](SnapshotStore.append(root, ev))
+    // CURRENT still points at the winner's lineage; no manifest was replaced
+    assert(new String(Files.readAllBytes(Paths.get(root, "_snapshots", "v2.json"))).contains("\"snapshotId\":2}"))
+  }
+
   test("merge-on-read deletes: ordering semantics, loud incremental/dir guards, compaction materializes") {
     val root = tmpDir("snapdel")
     val ev = events.select("event_id", "user_id", "ts", "event_type")
