@@ -1051,6 +1051,31 @@ object SparkEntry {
       graft.rollup.Overlap.pairwiseSketch(t(s, dir, "events"), "event_type", "user_id", "ts", "day")
     }),
 
+    // ---- WARC record parse (Common-Crawl's container format, ISO
+    //      28500): record-ized strings -> typed fields, every
+    //      extraction one codegen regexp in the Java ∩ RE2 dialect —
+    //      a ZERO-SHUFFLE map stage. Planted defects: doc_id%7 records
+    //      declare a wrong Content-Length (valid=false), doc_id%13
+    //      records are not WARC at all (all-null fields). ----
+    "q145_warc_parse" -> ((s, dir) => {
+      val crlf = lit("\r\n")
+      val docs = t(s, dir, "documents")
+      val declaredLen = when(pmod(col("doc_id"), lit(7)) === 0, length(col("text")) + 1)
+        .otherwise(length(col("text")))
+      val rec0 = concat(
+        lit("WARC/1.0"), crlf,
+        lit("WARC-Type: response"), crlf,
+        lit("WARC-Target-URI: https://"), col("source"), lit(".example.com/doc/"),
+        col("doc_id").cast("string"), crlf,
+        lit("WARC-Date: 2024-01-01T00:00:00Z"), crlf,
+        lit("Content-Length: "), declaredLen.cast("string"), crlf, crlf,
+        col("text"))
+      val rec = when(pmod(col("doc_id"), lit(13)) === 0, concat(lit("GARBAGE"), rec0)).otherwise(rec0)
+      graft.text.Warc
+        .parseRecords(docs.select(col("doc_id"), rec.as("record")), "record")
+        .select("doc_id", "warc_type", "uri", "warc_date", "content_length", "payload", "valid")
+    }),
+
     // ---- merge-on-read row deletes (Iceberg v2 equality deletes):
     //      a GDPR-style key purge appends DELETE KEYS as a snapshot —
     //      no data file rewritten; the read anti-joins with snapshot
@@ -3692,6 +3717,32 @@ object SparkEntry {
          UNION ALL
          SELECT event_id, user_id, ts, event_type, value
          FROM events WHERE event_id % 2 = 1""",
+    // WARC replay: identical record synthesis (chr(13)||chr(10) line
+    // ends) and the IDENTICAL regexes — both engines run the same
+    // Java ∩ RE2 patterns; NULLIF mirrors the missing-header null.
+    "q145_warc_parse" ->
+      """WITH d AS (SELECT doc_id, text, source, chr(13)||chr(10) AS nl FROM documents),
+         r AS (SELECT doc_id, nl,
+                 CASE WHEN doc_id % 13 = 0 THEN 'GARBAGE' ELSE '' END ||
+                 'WARC/1.0' || nl || 'WARC-Type: response' || nl ||
+                 'WARC-Target-URI: https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || nl ||
+                 'WARC-Date: 2024-01-01T00:00:00Z' || nl ||
+                 'Content-Length: ' ||
+                 CAST(CASE WHEN doc_id % 7 = 0 THEN length(text) + 1 ELSE length(text) END AS VARCHAR) ||
+                 nl || nl || text AS record
+               FROM d),
+         p AS (SELECT doc_id, record, starts_with(record, 'WARC/1.0' || nl) AS is_warc FROM r),
+         x AS (SELECT doc_id, is_warc,
+                 CASE WHEN is_warc THEN NULLIF(regexp_extract(record, '(?s)\r\nWARC-Type: ([^\r\n]*)\r\n', 1), '') END AS warc_type,
+                 CASE WHEN is_warc THEN NULLIF(regexp_extract(record, '(?s)\r\nWARC-Target-URI: ([^\r\n]*)\r\n', 1), '') END AS uri,
+                 CASE WHEN is_warc THEN NULLIF(regexp_extract(record, '(?s)\r\nWARC-Date: ([^\r\n]*)\r\n', 1), '') END AS warc_date,
+                 CASE WHEN is_warc THEN CAST(NULLIF(regexp_extract(record, '(?s)\r\nContent-Length: ([^\r\n]*)\r\n', 1), '') AS BIGINT) END AS content_length,
+                 CASE WHEN is_warc THEN regexp_extract(record, '(?s)\r\n\r\n(.*)$', 1) END AS payload
+               FROM p)
+         SELECT doc_id, warc_type, uri, warc_date, content_length, payload,
+                coalesce(is_warc AND content_length IS NOT NULL
+                         AND length(payload) = content_length, FALSE) AS valid
+         FROM x""",
     // Merge-on-read delete replay: keys id%10==3 deleted at snapshot 3
     // erase snapshots 1-2's rows; snapshot 4's re-insert (id%20==3, a
     // subset of the deleted keys) postdates the delete and survives.
