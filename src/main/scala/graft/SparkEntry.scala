@@ -1051,6 +1051,26 @@ object SparkEntry {
       graft.rollup.Overlap.pairwiseSketch(t(s, dir, "events"), "event_type", "user_id", "ts", "day")
     }),
 
+    // ---- archival retention (tiered storage): expired tier
+    //      partitions MOVE to a cold root — an atomic directory
+    //      rename, metadata-only like plain expiry; the cold store
+    //      must read back as exactly the expired slice ----
+    "q146_retention_archive" -> ((s, dir) => {
+      val root = "/tmp/graft_q146/src"
+      val tiers = "/tmp/graft_q146/tiers"
+      val cold = "/tmp/graft_q146/cold"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q146")
+      val ev = t(s, dir, "events")
+      graft.snapshot.SnapshotStore.append(root, ev, tsCol = Some("ts"))
+      graft.snapshot.ContinuousRollup.update(s, root, tiers, Seq("event_type"), "ts", lit(0L))
+      val asOf = ev.agg(max(to_date(col("ts")))).collect()(0).getDate(0).toLocalDate
+      graft.snapshot.Retention.enforce(s, tiers, Map("1h" -> 20), asOf, archiveRoot = Some(cold))
+      s.read
+        .option("basePath", s"$cold/tier_1h")
+        .parquet(s"$cold/tier_1h")
+        .select(col("event_type"), col("bucket_ts"), col("point_count"))
+    }),
+
     // ---- WARC record parse (Common-Crawl's container format, ISO
     //      28500): record-ized strings -> typed fields, every
     //      extraction one codegen regexp in the Java ∩ RE2 dialect —
@@ -3717,6 +3737,13 @@ object SparkEntry {
          UNION ALL
          SELECT event_id, user_id, ts, event_type, value
          FROM events WHERE event_id % 2 = 1""",
+    // Archive replay: the cold store holds exactly the hourly buckets
+    // of days older than the keep-20 cutoff (q78's complement slice).
+    "q146_retention_archive" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events)
+         SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS point_count
+         FROM events, mx WHERE CAST(ts AS DATE) < mx.d - 19
+         GROUP BY 1, 2""",
     // WARC replay: identical record synthesis (chr(13)||chr(10) line
     // ends) and the IDENTICAL regexes — both engines run the same
     // Java ∩ RE2 patterns; NULLIF mirrors the missing-header null.

@@ -46,7 +46,8 @@ object Retention {
       spark: SparkSession,
       tiersRoot: String,
       keepDays: Map[String, Int],
-      asOf: LocalDate
+      asOf: LocalDate,
+      archiveRoot: Option[String] = None
   ): Seq[TierRetention] = {
     keepDays.foreach { case (tier, k) =>
       require(graft.rollup.Tiers.All.contains(tier), s"unknown tier '$tier'")
@@ -74,7 +75,27 @@ object Retention {
           finally stream.close()
         }
         val expired = parts.filter(_._2.isBefore(cutoff))
-        expired.foreach { case (p, _) => SnapshotStore.deleteRecursively(p.toString) }
+        expired.foreach { case (p, _) =>
+          archiveRoot match {
+            case None => SnapshotStore.deleteRecursively(p.toString)
+            case Some(ar) =>
+              // tiered storage: the expired partition MOVES to the cold
+              // root — an atomic directory rename, still metadata-only
+              // (same-filesystem here; the object-store analog is a
+              // manifest rewrite pointing at cold storage, equally
+              // row-free). A pre-existing cold partition for the same
+              // day means late data recreated and re-expired it —
+              // merging histories silently would double-count, so raise.
+              val target = Paths.get(ar, s"tier_$tier", p.getFileName.toString)
+              Files.createDirectories(target.getParent)
+              require(
+                !Files.exists(target),
+                s"archive collision: $target already holds an earlier expiry of this partition " +
+                  "(late data recreated the day after archival) — reconcile the cold copy first"
+              )
+              Files.move(p, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
         TierRetention(tier, parts.size.toLong, expired.size.toLong, cutoff)
       }
     }
@@ -83,7 +104,7 @@ object Retention {
     results
       .map(r =>
         (
-          "retention",
+          if (archiveRoot.isDefined) "retention_archive" else "retention",
           r.tier,
           s"keep>=${r.cutoff}",
           r.partsDropped,

@@ -112,7 +112,9 @@ class PlanSpec extends SparkSpec {
       "q139_stream_stream_join", "q140_stream_dedup",
       // construction writes a snapshot store twice (q57-style side
       // effects) — audited by their oracles + SnapshotSpec
-      "q137_time_travel", "q138_incremental_read", "q141_schema_evolution", "q144_row_deletes"
+      "q137_time_travel", "q138_incremental_read", "q141_schema_evolution", "q144_row_deletes",
+      // construction runs a snapshot update + archival retention
+      "q146_retention_archive"
     )
     // broadcast-model or tiny-side joins where a nested-loop is the
     // right plan: brute-force/centroid crosses (exactness baselines),

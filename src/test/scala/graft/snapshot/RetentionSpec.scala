@@ -42,6 +42,34 @@ class RetentionSpec extends SparkSpec {
     }
   }
 
+  test("archival retention: expired partitions MOVE to the cold root; hot survivors intact; collision raises") {
+    val (_, tiers) = buildTiers()
+    val cold = tmpDir("ret_cold")
+    val asOf = LocalDate.parse(partDays(tiers, "1h").max)
+    val before = partDays(tiers, "1h")
+    val res = Retention
+      .enforce(spark, tiers, Map("1h" -> 10), asOf, archiveRoot = Some(cold))
+      .head
+    val hot = partDays(tiers, "1h")
+    val archived = partDays(cold, "1h")
+    assert(hot == before.filter(d => !LocalDate.parse(d).isBefore(asOf.minusDays(9))))
+    assert(archived == before -- hot) // every expired day is in the cold store, none lost
+    assert(res.partsDropped == archived.size)
+    // the cold copy reads back as exactly the expired slice
+    val coldRows = spark.read
+      .option("basePath", s"$cold/tier_1h")
+      .parquet(s"$cold/tier_1h")
+    assert(coldRows.count() > 0)
+    assert(
+      coldRows.filter(to_date(col("bucket_ts")) >= lit(java.sql.Date.valueOf(asOf.minusDays(9)))).count() == 0)
+    // re-expiry of a recreated day collides loudly instead of double-counting
+    val recreated = Paths.get(tiers, "tier_1h", s"part_key=${archived.head}")
+    Files.createDirectories(recreated)
+    val e = intercept[IllegalArgumentException](
+      Retention.enforce(spark, tiers, Map("1h" -> 10), asOf, archiveRoot = Some(cold)))
+    assert(e.getMessage.contains("archive collision"))
+  }
+
   test("expired partition dirs drop; survivors and other tiers are untouched; reads stay consistent") {
     val (_, tiers) = buildTiers()
     val asOf = LocalDate.parse(partDays(tiers, "1m").max)
