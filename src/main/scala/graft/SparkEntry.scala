@@ -1071,6 +1071,71 @@ object SparkEntry {
         .select(col("event_type"), col("bucket_ts"), col("point_count"))
     }),
 
+    // ---- orphan-file vacuum: a crashed append leaves a fully
+    //      written data dir no manifest references (that is what makes
+    //      the commit protocol crash-safe) — vacuum collects it,
+    //      age-gated so an append IN FLIGHT is never mistaken for
+    //      garbage; metadata-only (manifest set vs dir listing) ----
+    "q147_vacuum" -> ((s, dir) => {
+      val root = "/tmp/graft_q147/src"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q147")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 0), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 1), tsCol = Some("ts"))
+      // the crashed append: data fully written, manifest never committed
+      ev.limit(100).write.parquet(s"$root/data/s99")
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/data/s99"),
+        java.nio.file.attribute.FileTime.fromMillis(1L))
+      val removed = graft.snapshot.SnapshotStore.vacuum(root)
+      graft.snapshot.SnapshotStore
+        .read(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+        .withColumn("orphans_removed", lit(removed.size.toLong))
+    }),
+
+    // ---- write-audit-publish branch: staged snapshots are invisible
+    //      to main, the audit view is main ∪ staged (the same committed
+    //      bytes that will become visible), publish promotes them onto
+    //      main in stage order via the id CAS ----
+    "q148_wap_publish" -> ((s, dir) => {
+      val root = "/tmp/graft_q148/src"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q148")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(3)) === 0), tsCol = Some("ts"))
+      graft.snapshot.Wap.stage(root, ev.filter(pmod(col("event_id"), lit(3)) === 1), "ingest", tsCol = Some("ts"))
+      graft.snapshot.Wap.stage(root, ev.filter(pmod(col("event_id"), lit(3)) === 2), "ingest", tsCol = Some("ts"))
+      def agg(df: DataFrame, phase: String): DataFrame =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("event_id").as("id_sum"))
+          .withColumn("phase", lit(phase))
+      // materialize the pre-publish views NOW (publish MOVES the staged
+      // files — a lazy plan evaluated afterwards would read thin air)
+      val before = agg(graft.snapshot.SnapshotStore.read(s, root), "main_before")
+        .unionByName(agg(graft.snapshot.Wap.auditRead(s, root, "ingest"), "audit"))
+        .localCheckpoint(true)
+      graft.snapshot.Wap.publish(root, "ingest")
+      before.unionByName(agg(graft.snapshot.SnapshotStore.read(s, root), "published"))
+    }),
+
+    // ---- snapshot rollback: a bad ingest un-publishes (manifests +
+    //      data park in an audit bin, CURRENT drops), the freed ids are
+    //      reusable for the corrected re-ingest — two directory renames
+    //      per snapshot, zero rows read ----
+    "q149_rollback" -> ((s, dir) => {
+      val root = "/tmp/graft_q149/src"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q149")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(3)) === 0), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(3)) === 1), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(3)) === 2), tsCol = Some("ts"))
+      // snapshots 2 and 3 were a bad ingest: roll back, re-ingest the good part
+      graft.snapshot.SnapshotStore.rollback(root, 1L)
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(3)) === 2), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.read(s, root).select("event_id", "user_id", "ts", "event_type")
+    }),
+
     // ---- WARC record parse (Common-Crawl's container format, ISO
     //      28500): record-ized strings -> typed fields, every
     //      extraction one codegen regexp in the Java ∩ RE2 dialect —
@@ -3744,6 +3809,30 @@ object SparkEntry {
          SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS point_count
          FROM events, mx WHERE CAST(ts AS DATE) < mx.d - 19
          GROUP BY 1, 2""",
+    // Vacuum replay: the committed table is untouched (vacuum removes
+    // only the unreferenced orphan), and exactly one orphan went.
+    "q147_vacuum" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(1 AS BIGINT) AS orphans_removed
+         FROM events GROUP BY 1""",
+    // WAP replay: before publish main holds only the base third; the
+    // audit view and the published table both hold everything.
+    "q148_wap_publish" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(event_id) AS BIGINT) AS id_sum, 'main_before' AS phase
+         FROM events WHERE event_id % 3 = 0 GROUP BY 1
+         UNION ALL
+         SELECT event_type, count(*), CAST(sum(event_id) AS BIGINT), 'audit'
+         FROM events GROUP BY 1
+         UNION ALL
+         SELECT event_type, count(*), CAST(sum(event_id) AS BIGINT), 'published'
+         FROM events GROUP BY 1""",
+    // Rollback replay: thirds 0 and 2 survive (the bad third-1 ingest
+    // was rolled back, the good third re-ingested at the freed id).
+    "q149_rollback" ->
+      """SELECT event_id, user_id, ts, event_type
+         FROM events WHERE event_id % 3 <> 1""",
     // WARC replay: identical record synthesis (chr(13)||chr(10) line
     // ends) and the IDENTICAL regexes — both engines run the same
     // Java ∩ RE2 patterns; NULLIF mirrors the missing-header null.

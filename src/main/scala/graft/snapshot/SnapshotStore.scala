@@ -40,7 +40,7 @@ object SnapshotStore {
 
   private val mapper = new ObjectMapper()
 
-  private def snapDir(root: String): Path = Paths.get(root, "_snapshots")
+  private[snapshot] def snapDir(root: String): Path = Paths.get(root, "_snapshots")
 
   def currentSnapshotId(root: String): Long = {
     val cur = snapDir(root).resolve("CURRENT")
@@ -60,7 +60,7 @@ object SnapshotStore {
         .toSeq
         .sorted
 
-  private def manifest(root: String, id: Long): JsonNode =
+  private[snapshot] def manifest(root: String, id: Long): JsonNode =
     mapper.readTree(Files.readAllBytes(snapDir(root).resolve(s"v$id.json")))
 
   /** Atomic write: temp file in the same directory + ATOMIC_MOVE.
@@ -70,7 +70,7 @@ object SnapshotStore {
     * we raise — a silent REPLACE would orphan the winner's data dir
     * and lose its rows.
     */
-  private def atomicWrite(target: Path, content: String, replace: Boolean = true): Unit = {
+  private[snapshot] def atomicWrite(target: Path, content: String, replace: Boolean = true): Unit = {
     Files.createDirectories(target.getParent)
     val tmp = Files.createTempFile(target.getParent, ".tmp", ".json")
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
@@ -245,7 +245,7 @@ object SnapshotStore {
     oldDirs.foreach(deleteRecursively)
   }
 
-  private def listDayTokens(dataDir: String): Seq[String] = {
+  private[snapshot] def listDayTokens(dataDir: String): Seq[String] = {
     val stream = Files.list(Paths.get(dataDir))
     try
       stream
@@ -268,6 +268,88 @@ object SnapshotStore {
       try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
       finally walk.close()
     }
+  }
+
+  /** Remove ORPHAN data dirs — dirs under `root/data` no manifest
+    * references. The commit protocol makes them inevitable: a crash
+    * between the data write and the manifest commit leaves a fully
+    * written dir no reader will ever see (that is what makes the
+    * crash safe), and they accumulate forever unless collected. This
+    * is the Iceberg `remove_orphan_files` maintenance action:
+    * metadata-only (manifest set vs directory listing — never reads a
+    * row), and age-gated, because a dir younger than `olderThanMillis`
+    * may be an append IN FLIGHT whose manifest simply hasn't committed
+    * yet — deleting it would corrupt a live writer. Returns the dirs
+    * removed.
+    */
+  def vacuum(root: String, olderThanMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.exists(dataRoot)) return Seq.empty
+    val referenced: Set[Path] = snapshotIds(root)
+      .flatMap(id =>
+        manifest(root, id).get("dataDirs").elements().asScala.map(d =>
+          Paths.get(d.asText()).toAbsolutePath.normalize))
+      .toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val stream = Files.list(dataRoot)
+    val candidates =
+      try stream.iterator().asScala.toSeq
+      finally stream.close()
+    val orphans = candidates
+      .filter(p => !referenced.contains(p.toAbsolutePath.normalize))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .sortBy(_.getFileName.toString)
+    orphans.foreach(p => deleteRecursively(p.toString))
+    orphans.map(_.toString)
+  }
+
+  /** ROLLBACK the table to an earlier snapshot: snapshots above `to`
+    * leave the live history (manifests AND data dirs move under
+    * `root/_rolledback/r<n>/`, kept for audit/reconciliation — rollback
+    * un-publishes rows, it must not destroy them), CURRENT drops to
+    * `to`, and the next append takes id `to`+1 afresh. Metadata-only:
+    * two directory renames per rolled-back snapshot, zero rows read —
+    * how a table format rolls back a bad ingest at 100 TB. Moving the
+    * data dir aside (not just the manifest) is what frees the
+    * `data/s<id>` slot: a later re-append at the same id would
+    * otherwise collide with the dead writer's files.
+    */
+  def rollback(root: String, to: Long): Seq[Long] = {
+    val current = currentSnapshotId(root)
+    require(to >= 0 && to <= current, s"cannot roll back to $to: current snapshot is $current")
+    val ids = snapshotIds(root).filter(_ > to)
+    ids.foreach { id =>
+      require(
+        !manifest(root, id).has("compacted"),
+        s"snapshot $id is a compacted rebase of history at or below it — rolling it back would " +
+          s"lose rows that were never above the rollback point; roll back to >= $id or rebuild"
+      )
+    }
+    // one numbered bin per rollback call, so repeated rollbacks that
+    // reuse snapshot ids never collide in the audit area
+    val binRoot = Paths.get(root, "_rolledback")
+    Files.createDirectories(binRoot)
+    val existing = {
+      val s = Files.list(binRoot)
+      try s.iterator().asScala.size
+      finally s.close()
+    }
+    val bin = binRoot.resolve(s"r$existing")
+    Files.createDirectories(bin)
+    ids.sorted.foreach { id =>
+      val m = manifest(root, id)
+      m.get("dataDirs").elements().asScala.map(_.asText()).foreach { d =>
+        val src = Paths.get(d)
+        if (Files.exists(src))
+          Files.move(src, bin.resolve(src.getFileName), StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.move(
+        snapDir(root).resolve(s"v$id.json"),
+        bin.resolve(s"v$id.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    atomicWrite(snapDir(root).resolve("CURRENT"), to.toString)
+    ids.sorted
   }
 
   /** Full-table read at the current snapshot. */

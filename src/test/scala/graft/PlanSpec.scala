@@ -114,7 +114,9 @@ class PlanSpec extends SparkSpec {
       // effects) — audited by their oracles + SnapshotSpec
       "q137_time_travel", "q138_incremental_read", "q141_schema_evolution", "q144_row_deletes",
       // construction runs a snapshot update + archival retention
-      "q146_retention_archive"
+      "q146_retention_archive",
+      // construction writes/vacuums/stages/rolls back a snapshot store
+      "q147_vacuum", "q148_wap_publish", "q149_rollback"
     )
     // broadcast-model or tiny-side joins where a nested-loop is the
     // right plan: brute-force/centroid crosses (exactness baselines),
