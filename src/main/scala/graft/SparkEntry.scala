@@ -1136,6 +1136,65 @@ object SparkEntry {
       graft.snapshot.SnapshotStore.read(s, root).select("event_id", "user_id", "ts", "event_type")
     }),
 
+    // ---- streaming -> snapshot-table sink, EXACTLY-ONCE: foreachBatch
+    //      gives at-least-once with stable batch ids; recording the id
+    //      in the manifest makes a crash-retry re-delivery a no-op. The
+    //      deliberate re-delivery of the last batch below is the proof:
+    //      were it appended twice the row hash would double-count. ----
+    "q150_stream_snapshot_sink" -> ((s0, dir) => {
+      val root = "/tmp/graft_q150/tbl"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q150")
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .as[(Long, Long, java.sql.Timestamp, String)]
+        .collect()
+        .toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+      val q = ms.toDF().toDF("event_id", "user_id", "ts", "event_type")
+        .writeStream
+        .option("checkpointLocation", s"/tmp/graft_q150/chk_${System.nanoTime()}")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.SnapshotSink.appendBatch(root, b, id, tsCol = Some("ts")); ()
+        }
+        .start()
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+      q.stop()
+      // simulate the crash-retry: the checkpoint commit was lost, the
+      // SAME final batch arrives again — the manifest high-water mark
+      // must swallow it
+      val hwm = graft.snapshot.SnapshotStore.lastStreamBatchId(root)
+      graft.streaming.SnapshotSink.appendBatch(
+        root,
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_type")),
+        hwm, tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.read(s, root).select("event_id", "user_id", "ts", "event_type")
+    }),
+
+    // ---- as-of-timestamp time travel (the Iceberg as-of-timestamp
+    //      read): resolve a wall-clock stamp to the newest snapshot
+    //      committed at or before it — manifest metadata only, zero
+    //      data files touched by the resolution ----
+    "q151_read_as_of" -> ((s, dir) => {
+      val root = "/tmp/graft_q151/src"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q151")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 0), tsCol = Some("ts"))
+      val t1 = graft.snapshot.SnapshotStore.commitMillis(root, 1L).get
+      // commit 2 must land on a LATER millisecond, or the stamp t1
+      // would (correctly) resolve to it
+      while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 1), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.readAsOf(s, root, t1)
+        .select("event_id", "user_id", "ts", "event_type")
+    }),
+
     // ---- WARC record parse (Common-Crawl's container format, ISO
     //      28500): record-ized strings -> typed fields, every
     //      extraction one codegen regexp in the Java ∩ RE2 dialect —
@@ -3833,6 +3892,15 @@ object SparkEntry {
     "q149_rollback" ->
       """SELECT event_id, user_id, ts, event_type
          FROM events WHERE event_id % 3 <> 1""",
+    // Streaming-sink replay: exactly-once means the table holds each
+    // event ONCE despite the deliberate re-delivery of the last batch.
+    "q150_stream_snapshot_sink" ->
+      "SELECT event_id, user_id, ts, event_type FROM events",
+    // As-of replay: the stamp of commit 1 resolves to snapshot 1 —
+    // only the even-id half exists at that wall-clock instant.
+    "q151_read_as_of" ->
+      """SELECT event_id, user_id, ts, event_type
+         FROM events WHERE event_id % 2 = 0""",
     // WARC replay: identical record synthesis (chr(13)||chr(10) line
     // ends) and the IDENTICAL regexes — both engines run the same
     // Java ∩ RE2 patterns; NULLIF mirrors the missing-header null.

@@ -109,7 +109,12 @@ object SnapshotStore {
     * tasks×partitions small-file fan-out, and the time-range file
     * layout the rollup scan wants.
     */
-  def append(root: String, df: DataFrame, tsCol: Option[String] = None): Long = {
+  def append(
+      root: String,
+      df: DataFrame,
+      tsCol: Option[String] = None,
+      streamBatchId: Option[Long] = None
+  ): Long = {
     val parent = currentSnapshotId(root)
     val id = parent + 1
     val dataDir = s"$root/data/s$id"
@@ -141,6 +146,8 @@ object SnapshotStore {
     // table schema from METADATA alone (the Iceberg model), instead of
     // a mergeSchema footer scan of every file at 100 TB
     m.put("schemaJson", df.schema.json)
+    m.put("commitMillis", System.currentTimeMillis())
+    streamBatchId.foreach(b => m.put("streamBatchId", b))
     val dirs: ArrayNode = m.putArray("dataDirs")
     dirs.add(dataDir)
     tsCol.foreach { ts =>
@@ -152,6 +159,35 @@ object SnapshotStore {
     atomicWrite(snapDir(root).resolve("CURRENT"), id.toString)
     id
   }
+
+  /** Commit wall-clock of snapshot `id` (absent on legacy manifests). */
+  def commitMillis(root: String, id: Long): Option[Long] =
+    Option(manifest(root, id).get("commitMillis")).map(_.asLong())
+
+  /** Highest streaming batch id committed into this table, -1 when
+    * none — the exactly-once marker `streaming.SnapshotSink` keys on.
+    */
+  def lastStreamBatchId(root: String): Long =
+    snapshotIds(root)
+      .flatMap(id => Option(manifest(root, id).get("streamBatchId")).map(_.asLong()))
+      .maxOption
+      .getOrElse(-1L)
+
+  /** AS-OF-TIMESTAMP time travel (the Iceberg `as-of-timestamp` read):
+    * the newest snapshot committed at or before `millis`, 0 when the
+    * table didn't exist yet. Resolution is manifest metadata only.
+    */
+  def snapshotAsOf(root: String, millis: Long): Long =
+    snapshotIds(root)
+      .filter(id => commitMillis(root, id).exists(_ <= millis))
+      .maxOption
+      .getOrElse(0L)
+
+  /** Read the table as it was at wall-clock `millis`. Raises (via
+    * [[readRange]]'s empty-range guard) when the table had no data yet.
+    */
+  def readAsOf(spark: SparkSession, root: String, millis: Long): DataFrame =
+    readRange(spark, root, 0L, snapshotAsOf(root, millis))
 
   /** Compact the history (0, upTo] into ONE rebased snapshot: every
     * day's files across those snapshots rewrite into a single
@@ -224,6 +260,10 @@ object SnapshotStore {
     m.put("parentId", 0L)
     m.put("rows", rows)
     m.put("compacted", true)
+    // the rebase REPRESENTS history up to upTo: it keeps upTo's commit
+    // stamp, so as-of-timestamp reads at or after that commit still
+    // resolve (time travel BELOW upTo is erased either way)
+    commitMillis(root, upTo).foreach(t => m.put("commitMillis", t))
     // the compacted rewrite materializes the merged schema: every file
     // below the rebase point now carries the union schema
     m.put("schemaJson", df.schema.json)

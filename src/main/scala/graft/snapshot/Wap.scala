@@ -193,6 +193,7 @@ object Wap {
       m.put("parentId", id - 1)
       m.put("rows", sm.get("rows").asLong())
       m.put("schemaJson", sm.get("schemaJson").asText())
+      m.put("commitMillis", System.currentTimeMillis())
       m.put("wapBranch", branch)
       m.put("wapStage", k)
       val dirs: ArrayNode = m.putArray("dataDirs")
