@@ -1195,6 +1195,26 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "event_type")
     }),
 
+    // ---- manifest-stats data skipping (Iceberg min/max pruning at
+    //      snapshot granularity): appends clustered by user_id record
+    //      per-snapshot min/max riding the write's observe; readWhere
+    //      opens ONLY snapshots whose range can intersect the
+    //      predicate (DataSkipSpec pins the inputFiles proof), the
+    //      residual filter prunes rows on the survivors ----
+    "q152_data_skipping" -> ((s, dir) => {
+      val root = "/tmp/graft_q152/src"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q152")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      graft.snapshot.SnapshotStore.append(
+        root, ev.filter(col("user_id") < 5), tsCol = Some("ts"), statsCols = Seq("user_id"))
+      graft.snapshot.SnapshotStore.append(
+        root, ev.filter(col("user_id") >= 5 && col("user_id") < 10), tsCol = Some("ts"), statsCols = Seq("user_id"))
+      graft.snapshot.SnapshotStore.append(
+        root, ev.filter(col("user_id") >= 10), tsCol = Some("ts"), statsCols = Seq("user_id"))
+      graft.snapshot.SnapshotStore.readWhere(s, root, "user_id", 5, 9)
+        .select("event_id", "user_id", "ts", "event_type")
+    }),
+
     // ---- WARC record parse (Common-Crawl's container format, ISO
     //      28500): record-ized strings -> typed fields, every
     //      extraction one codegen regexp in the Java ∩ RE2 dialect —
@@ -3901,6 +3921,11 @@ object SparkEntry {
     "q151_read_as_of" ->
       """SELECT event_id, user_id, ts, event_type
          FROM events WHERE event_id % 2 = 0""",
+    // Data-skipping replay: pruning chooses FILES, the predicate
+    // chooses ROWS — the result is the plain range filter.
+    "q152_data_skipping" ->
+      """SELECT event_id, user_id, ts, event_type
+         FROM events WHERE user_id BETWEEN 5 AND 9""",
     // WARC replay: identical record synthesis (chr(13)||chr(10) line
     // ends) and the IDENTICAL regexes — both engines run the same
     // Java ∩ RE2 patterns; NULLIF mirrors the missing-header null.

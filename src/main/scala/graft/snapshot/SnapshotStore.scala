@@ -113,24 +113,39 @@ object SnapshotStore {
       root: String,
       df: DataFrame,
       tsCol: Option[String] = None,
-      streamBatchId: Option[Long] = None
+      streamBatchId: Option[Long] = None,
+      statsCols: Seq[String] = Nil
   ): Long = {
     val parent = currentSnapshotId(root)
     val id = parent + 1
     val dataDir = s"$root/data/s$id"
     val obs = Observation(s"graft_append_s$id")
 
+    // per-snapshot column min/max (the Iceberg manifest-stats model,
+    // at snapshot granularity) RIDE the write's observe — zero extra
+    // scan; readWhere prunes on them from metadata alone
+    statsCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(
+        dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          dt == org.apache.spark.sql.types.StringType,
+        s"stats column '$c' must be numeric or string, got ${dt.simpleString}"
+      )
+    }
+    val statAggs = statsCols.flatMap(c => Seq(min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c")))
+    val aggs = count(lit(1)).as("rows") +: statAggs
+
     tsCol match {
       case Some(ts) =>
         df.withColumn("part_day", to_date(col(ts)))
           .repartitionByRange(col("part_day"), col(ts))
-          .observe(obs, count(lit(1)).as("rows"))
+          .observe(obs, aggs.head, aggs.tail: _*)
           .write
           .mode("errorifexists")
           .partitionBy("part_day")
           .parquet(dataDir)
       case None =>
-        df.observe(obs, count(lit(1)).as("rows"))
+        df.observe(obs, aggs.head, aggs.tail: _*)
           .write
           .mode("errorifexists")
           .parquet(dataDir)
@@ -148,6 +163,16 @@ object SnapshotStore {
     m.put("schemaJson", df.schema.json)
     m.put("commitMillis", System.currentTimeMillis())
     streamBatchId.foreach(b => m.put("streamBatchId", b))
+    if (statsCols.nonEmpty) {
+      val st: ObjectNode = m.putObject("stats")
+      statsCols.foreach { c =>
+        val node: ObjectNode = st.putObject(c)
+        val (lo, hi) = (obs.get(s"min__$c"), obs.get(s"max__$c"))
+        node.put("numeric", df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        if (lo == null || hi == null) node.put("allNull", true)
+        else { node.put("min", lo.toString); node.put("max", hi.toString) }
+      }
+    }
     val dirs: ArrayNode = m.putArray("dataDirs")
     dirs.add(dataDir)
     tsCol.foreach { ts =>
@@ -548,8 +573,53 @@ object SnapshotStore {
     * anti-join the delete keys with snapshot-ordering semantics;
     * incremental reads over pending deletes raise.
     */
-  def readRange(spark: SparkSession, root: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
-    val ids = effectiveIds(root, fromExclusive, toInclusive)
+  def readRange(spark: SparkSession, root: String, fromExclusive: Long, toInclusive: Long): DataFrame =
+    readIds(spark, root, effectiveIds(root, fromExclusive, toInclusive), fromExclusive)
+
+  /** True when snapshot `id`'s recorded stats admit rows with `column`
+    * in [lo, hi] — or when no stats exist for it (no stats = must
+    * scan; skipping is only ever justified by positive evidence).
+    */
+  private[snapshot] def statsAdmit(root: String, id: Long, column: String, lo: Any, hi: Any): Boolean = {
+    val node = Option(manifest(root, id).get("stats")).flatMap(s => Option(s.get(column)))
+    node.forall { n =>
+      if (n.has("allNull")) false // a range predicate never matches null
+      else {
+        val (mn, mx) = (n.get("min").asText(), n.get("max").asText())
+        if (n.get("numeric").asBoolean()) !(BigDecimal(mx) < BigDecimal(lo.toString) || BigDecimal(mn) > BigDecimal(hi.toString))
+        else !(mx < lo.toString || mn > hi.toString)
+      }
+    }
+  }
+
+  /** Range-predicate read with MANIFEST-STATS data skipping (the
+    * Iceberg min/max pruning model at snapshot granularity): snapshots
+    * whose recorded [min, max] for `column` cannot intersect [lo, hi]
+    * are never opened — the residual filter still runs on the
+    * survivors (stats prune FILES, the predicate prunes ROWS), so the
+    * result is exact whether or not any snapshot recorded stats.
+    * Delete snapshots always survive pruning (their anti-join applies
+    * to whatever data remains). Returns an empty relation in the
+    * table's metadata-merged schema when everything is skippable.
+    */
+  def readWhere(spark: SparkSession, root: String, column: String, lo: Any, hi: Any): DataFrame = {
+    val ids = effectiveIds(root, 0L, currentSnapshotId(root))
+    val kept = ids.filter { id =>
+      manifest(root, id).has("deleteKeyCols") || statsAdmit(root, id, column, lo, hi)
+    }
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (kept.forall(id => manifest(root, id).has("deleteKeyCols"))) {
+      val schemas = ids
+        .filterNot(id => manifest(root, id).has("deleteKeyCols"))
+        .flatMap(id => Option(manifest(root, id).get("schemaJson")).map(_.asText()))
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[org.apache.spark.sql.types.StructType])
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        mergeSchemas(schemas))
+    } else readIds(spark, root, kept, 0L).filter(pred)
+  }
+
+  private def readIds(spark: SparkSession, root: String, ids: Seq[Long], fromExclusive: Long): DataFrame = {
     val (delIds, dataIds) = ids.partition(id => manifest(root, id).has("deleteKeyCols"))
     require(
       delIds.isEmpty || fromExclusive == 0L,
@@ -557,7 +627,7 @@ object SnapshotStore {
         "cannot express row removal — read from snapshot 0 or compact() to materialize first"
     )
     val dirs = expandDataDirs(root, dataIds, None, _ => false)
-    require(dirs.nonEmpty, s"no data dirs in snapshot range ($fromExclusive, $toInclusive] of $root")
+    require(dirs.nonEmpty, s"no data dirs in snapshots ${ids.mkString("{", ",", "}")} of $root")
     val schemas = dataIds.map(id => Option(manifest(root, id).get("schemaJson")).map(_.asText()))
     val data =
       if (schemas.nonEmpty && schemas.forall(_.isDefined)) {
