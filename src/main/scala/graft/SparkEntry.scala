@@ -1195,6 +1195,36 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "event_type")
     }),
 
+    // ---- stream-static enrichment join: the third streaming join
+    //      shape (after stream-stream q139 and the stateful tier
+    //      q124) — a stream enriched against a BROADCAST static
+    //      dimension is STATELESS (no watermark, no join state): each
+    //      micro-batch hash-joins against the dim snapshot, the
+    //      100-TB/day ingest shape for dimension lookup ----
+    "q153_stream_static_join" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val dim = broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      val rows = t(s, dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .as[(Long, Long, java.sql.Timestamp, String)]
+        .collect()
+        .toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+      val enriched = ms.toDF()
+        .toDF("event_id", "user_id", "ts", "event_type")
+        .join(dim, pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+      val sink = s"q153_sink_${System.nanoTime()}"
+      val q = enriched.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      ms.addData(rows)
+      q.processAllAvailable()
+      val out = s.table(sink).select("event_id", "user_id", "ts", "event_type", "n_name")
+      q.stop()
+      out
+    }),
+
     // ---- manifest-stats data skipping (Iceberg min/max pruning at
     //      snapshot granularity): appends clustered by user_id record
     //      per-snapshot min/max riding the write's observe; readWhere
@@ -1213,6 +1243,36 @@ object SparkEntry {
         root, ev.filter(col("user_id") >= 10), tsCol = Some("ts"), statsCols = Seq("user_id"))
       graft.snapshot.SnapshotStore.readWhere(s, root, "user_id", 5, 9)
         .select("event_id", "user_id", "ts", "event_type")
+    }),
+
+    // ---- robots.txt crawl-permission gate (RFC 9309): per-host
+    //      robots text parses to agent-selected (rule, prefix) rules
+    //      (host-sized relation), then every URL gets its longest-
+    //      match / Allow-wins-ties verdict via a BROADCAST rule join +
+    //      one partial-aggregated struct-max reduce — the corpus side
+    //      never shuffles for the match. Planted policy: /doc/ denied,
+    //      /doc/1* re-allowed, /doc/12* re-denied, hosts with
+    //      suffix%3==0 additionally allow /doc/7*; an evilbot group,
+    //      comments, empty values, and unknown fields must all be
+    //      ignored for our agent. ----
+    "q154_robots_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sfx = regexp_extract(col("source"), "^src(\\d+)$", 1).cast("int")
+      val txt = concat(
+        lit("# crawl policy\nUser-agent: evilbot\nDisallow: /\n\n" +
+          "User-agent: *\nDisallow: /doc/\nAllow: /doc/1\nDisallow: /doc/12\nCrawl-delay: 5\n"),
+        when(pmod(sfx, lit(3)) === 0, lit("Allow: /doc/7\n"))
+          .when(pmod(sfx, lit(3)) === 2, lit("Disallow:\n"))
+          .otherwise(lit("")))
+      val hosts = docs.select(col("source")).distinct().withColumn("txt", txt)
+      val rules = graft.text.Robots.parseRules(hosts, "source", "txt", "graftbot")
+      val urls = docs.select(
+        col("doc_id"),
+        col("source"),
+        concat(col("source"), lit(".example.com")).as("host"),
+        concat(lit("/doc/"), col("doc_id").cast("string")).as("path"))
+      graft.text.Robots.decide(urls, rules, Seq("doc_id"), "source", "path")
+        .select("doc_id", "host", "path", "allowed")
     }),
 
     // ---- WARC record parse (Common-Crawl's container format, ISO
@@ -3926,6 +3986,38 @@ object SparkEntry {
     "q152_data_skipping" ->
       """SELECT event_id, user_id, ts, event_type
          FROM events WHERE user_id BETWEEN 5 AND 9""",
+    // Stream-static replay: a stateless enrichment join equals the
+    // batch join against the same dimension snapshot.
+    "q153_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, n.n_name
+         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""",
+    // Robots replay: the parsed rule relation is the literal policy
+    // (the evilbot group, comments, empty values, and unknown fields
+    // all drop for agent graftbot), and the verdict is the identical
+    // lexicographic struct max — longest prefix, then Allow=1 beats
+    // Disallow=0; unmatched URLs default to allowed.
+    "q154_robots_filter" ->
+      """WITH hosts AS (
+           SELECT DISTINCT source, CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT) AS sfx
+           FROM documents),
+         rules AS (
+           SELECT source, 'disallow' AS rule, '/doc/' AS prefix FROM hosts
+           UNION ALL SELECT source, 'allow', '/doc/1' FROM hosts
+           UNION ALL SELECT source, 'disallow', '/doc/12' FROM hosts
+           UNION ALL SELECT source, 'allow', '/doc/7' FROM hosts WHERE sfx % 3 = 0),
+         urls AS (
+           SELECT doc_id, source, source || '.example.com' AS host,
+                  '/doc/' || CAST(doc_id AS VARCHAR) AS path
+           FROM documents),
+         w AS (
+           SELECT u.doc_id,
+                  struct_extract(max(struct_pack(l := length(r.prefix),
+                                                 a := CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END)),
+                                 'a') AS a
+           FROM urls u JOIN rules r ON u.source = r.source AND starts_with(u.path, r.prefix)
+           GROUP BY 1)
+         SELECT u.doc_id, u.host, u.path, COALESCE(w.a = 1, TRUE) AS allowed
+         FROM urls u LEFT JOIN w ON u.doc_id = w.doc_id""",
     // WARC replay: identical record synthesis (chr(13)||chr(10) line
     // ends) and the IDENTICAL regexes — both engines run the same
     // Java ∩ RE2 patterns; NULLIF mirrors the missing-header null.
