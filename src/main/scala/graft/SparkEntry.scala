@@ -1245,6 +1245,49 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "event_type")
     }),
 
+    // ---- sitemap urlset roundtrip: per-host sitemap XML assembled
+    //      deterministically (order-free via array_sort before the
+    //      concat), then flat-mapped back to one row per <url> entry
+    //      by the tag-level parser — a zero-shuffle explode+regexp
+    //      stage; optional fields null when absent. Build∘parse must
+    //      be the identity on the entry relation (the oracle). ----
+    "q156_sitemap_parse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val entry = concat(
+        lit("<url>\n  <loc> https://"), col("source"), lit(".example.com/doc/"),
+        col("doc_id").cast("string"), lit(" </loc>\n  <lastmod>2024-01-"),
+        lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"), lit("</lastmod>\n"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("  <priority>0.8</priority>\n")).otherwise(lit("")),
+        lit("</url>\n"))
+      val sites = docs
+        .select(col("source"), struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy("source")
+        .agg(
+          concat(
+            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+            concat_ws("", transform(array_sort(collect_list(col("se"))), x => x.getField("e"))),
+            lit("</urlset>\n")).as("xml"))
+      graft.text.Sitemap.parseUrlset(sites, "xml")
+        .select("source", "loc", "lastmod", "changefreq", "priority")
+    }),
+
+    // ---- PageRank over a deterministic synthetic link graph (3
+    //      out-links per doc, dst = (id*7 + 13j) mod N — gcd(7,N)=1
+    //      makes in-degree uniform too): 8 supersteps of fixed-point
+    //      INTEGER arithmetic (floor divisions, no float sums — rank
+    //      values are partition-order-independent), each superstep one
+    //      edges⋈ranks join + one partial-aggregated dst reduce,
+    //      lineage cut per step via localCheckpoint ----
+    "q155_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("src"), pmod(col("src") * 7 + col("j") * 13, lit(n)).as("dst"))
+      graft.graph.PageRank.ranks(edges, "src", "dst", iters = 8)
+        .select(col("v").as("doc_id"), col("rank"))
+    }),
+
     // ---- robots.txt crawl-permission gate (RFC 9309): per-host
     //      robots text parses to agent-selected (rule, prefix) rules
     //      (host-sized relation), then every URL gets its longest-
@@ -3991,6 +4034,41 @@ object SparkEntry {
     "q153_stream_static_join" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""",
+    // Sitemap replay: build∘parse is the identity, so the oracle is
+    // the entry relation constructed directly.
+    "q156_sitemap_parse" ->
+      """SELECT source,
+                'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+                '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+                CAST(NULL AS VARCHAR) AS changefreq,
+                CASE WHEN doc_id % 4 = 0 THEN 0.8 END AS priority
+         FROM documents""",
+    // PageRank replay: the identical integer recurrence unrolled —
+    // every step floor division on BIGINTs, so the 8th-iteration
+    // ranks are bit-equal whatever the execution order.
+    "q155_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*7 + 13*j) % (SELECT n FROM nn) AS dst
+               FROM documents, (VALUES (1),(2),(3)) AS t(j)),
+         o AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT doc_id AS v, 1000000 // (SELECT n FROM nn) AS rank FROM documents),
+         i1 AS (SELECT e.dst AS v, (150000 // (SELECT n FROM nn)) + (85 * sum(r.rank // o.deg)) // 100 AS rank
+                FROM e JOIN r0 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1),
+         i2 AS (SELECT e.dst AS v, (150000 // (SELECT n FROM nn)) + (85 * sum(r.rank // o.deg)) // 100 AS rank
+                FROM e JOIN i1 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1),
+         i3 AS (SELECT e.dst AS v, (150000 // (SELECT n FROM nn)) + (85 * sum(r.rank // o.deg)) // 100 AS rank
+                FROM e JOIN i2 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1),
+         i4 AS (SELECT e.dst AS v, (150000 // (SELECT n FROM nn)) + (85 * sum(r.rank // o.deg)) // 100 AS rank
+                FROM e JOIN i3 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1),
+         i5 AS (SELECT e.dst AS v, (150000 // (SELECT n FROM nn)) + (85 * sum(r.rank // o.deg)) // 100 AS rank
+                FROM e JOIN i4 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1),
+         i6 AS (SELECT e.dst AS v, (150000 // (SELECT n FROM nn)) + (85 * sum(r.rank // o.deg)) // 100 AS rank
+                FROM e JOIN i5 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1),
+         i7 AS (SELECT e.dst AS v, (150000 // (SELECT n FROM nn)) + (85 * sum(r.rank // o.deg)) // 100 AS rank
+                FROM e JOIN i6 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1),
+         i8 AS (SELECT e.dst AS v, (150000 // (SELECT n FROM nn)) + (85 * sum(r.rank // o.deg)) // 100 AS rank
+                FROM e JOIN i7 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1)
+         SELECT v AS doc_id, CAST(rank AS BIGINT) AS rank FROM i8""",
     // Robots replay: the parsed rule relation is the literal policy
     // (the evilbot group, comments, empty values, and unknown fields
     // all drop for agent graftbot), and the verdict is the identical
