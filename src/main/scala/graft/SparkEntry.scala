@@ -1245,6 +1245,33 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "event_type")
     }),
 
+    // ---- HITS hubs & authorities over the q155 graph made asymmetric
+    //      (out-degree cycles 1,2,3 by doc id): 3 fixed-point integer
+    //      rounds, max-normalization riding a 1-row broadcast
+    //      cross-join (zero driver actions per round) ----
+    "q158_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .filter(col("j") <= pmod(col("src"), lit(3)) + 1)
+        .select(col("src"), pmod(col("src") * 7 + col("j") * 13, lit(n)).as("dst"))
+      graft.graph.Hits.scores(edges, "src", "dst", iters = 3)
+        .select(col("v").as("doc_id"), col("auth"), col("hub"))
+    }),
+
+    // ---- one-pass column profiling (ingestion QA / optimizer stats):
+    //      melt the profiled columns in the single scan, then the
+    //      two-level (col, value) -> col aggregate — both exchanges
+    //      partial-aggregated and key-partitioned, where C separate
+    //      count(distinct)s would plan as one EXPAND with a
+    //      driver-bottlenecked final reduce ----
+    "q157_profile" -> ((s, dir) => {
+      graft.operators.Profile.profile(
+        t(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type"))
+    }),
+
     // ---- sitemap urlset roundtrip: per-host sitemap XML assembled
     //      deterministically (order-free via array_sort before the
     //      concat), then flat-mapped back to one row per <url> entry
@@ -4034,6 +4061,54 @@ object SparkEntry {
     "q153_stream_static_join" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""",
+    // HITS replay: the identical integer rounds unrolled — raw sums,
+    // then BIGINT floor-division max-normalization per side.
+    "q158_hits" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*7 + 13*j) % (SELECT n FROM nn) AS dst
+               FROM documents, (VALUES (1),(2),(3)) AS t(j)
+               WHERE j <= 1 + doc_id % 3),
+         nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         h0 AS (SELECT v, 1000000 AS hub FROM nodes),
+         a1r AS (SELECT e.dst AS v, sum(h.hub) AS x FROM e JOIN h0 h ON e.src = h.v GROUP BY 1),
+         a1 AS (SELECT n.v, COALESCE((r.x * 1000000) // (SELECT max(x) FROM a1r), 0) AS auth
+                FROM nodes n LEFT JOIN a1r r ON n.v = r.v),
+         h1r AS (SELECT e.src AS v, sum(a.auth) AS x FROM e JOIN a1 a ON e.dst = a.v GROUP BY 1),
+         h1 AS (SELECT n.v, COALESCE((r.x * 1000000) // (SELECT max(x) FROM h1r), 0) AS hub
+                FROM nodes n LEFT JOIN h1r r ON n.v = r.v),
+         a2r AS (SELECT e.dst AS v, sum(h.hub) AS x FROM e JOIN h1 h ON e.src = h.v GROUP BY 1),
+         a2 AS (SELECT n.v, COALESCE((r.x * 1000000) // (SELECT max(x) FROM a2r), 0) AS auth
+                FROM nodes n LEFT JOIN a2r r ON n.v = r.v),
+         h2r AS (SELECT e.src AS v, sum(a.auth) AS x FROM e JOIN a2 a ON e.dst = a.v GROUP BY 1),
+         h2 AS (SELECT n.v, COALESCE((r.x * 1000000) // (SELECT max(x) FROM h2r), 0) AS hub
+                FROM nodes n LEFT JOIN h2r r ON n.v = r.v),
+         a3r AS (SELECT e.dst AS v, sum(h.hub) AS x FROM e JOIN h2 h ON e.src = h.v GROUP BY 1),
+         a3 AS (SELECT n.v, COALESCE((r.x * 1000000) // (SELECT max(x) FROM a3r), 0) AS auth
+                FROM nodes n LEFT JOIN a3r r ON n.v = r.v),
+         h3r AS (SELECT e.src AS v, sum(a.auth) AS x FROM e JOIN a3 a ON e.dst = a.v GROUP BY 1),
+         h3 AS (SELECT n.v, COALESCE((r.x * 1000000) // (SELECT max(x) FROM h3r), 0) AS hub
+                FROM nodes n LEFT JOIN h3r r ON n.v = r.v)
+         SELECT a3.v AS doc_id, CAST(a3.auth AS BIGINT) AS auth, CAST(h3.hub AS BIGINT) AS hub
+         FROM a3 JOIN h3 ON a3.v = h3.v""",
+    // Profile replay: per column, the same counts and LEXICOGRAPHIC
+    // string-cast extrema (the operator's documented contract).
+    "q157_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+                count(*) - count(event_id) AS n_null,
+                count(DISTINCT event_id) AS n_distinct,
+                min(CAST(event_id AS VARCHAR)) AS min_s,
+                max(CAST(event_id AS VARCHAR)) AS max_s
+         FROM events
+         UNION ALL
+         SELECT 'user_id', count(*), count(*) - count(user_id),
+                count(DISTINCT user_id),
+                min(CAST(user_id AS VARCHAR)), max(CAST(user_id AS VARCHAR))
+         FROM events
+         UNION ALL
+         SELECT 'event_type', count(*), count(*) - count(event_type),
+                count(DISTINCT event_type),
+                min(event_type), max(event_type)
+         FROM events""",
     // Sitemap replay: build∘parse is the identity, so the oracle is
     // the entry relation constructed directly.
     "q156_sitemap_parse" ->
