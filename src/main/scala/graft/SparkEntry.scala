@@ -1245,6 +1245,43 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "event_type")
     }),
 
+    // ---- multi-source BFS crawl depth over the q155 graph: frontier
+    //      expansion from the doc_id%97 seed hosts, 3 hops — per
+    //      round the join input is the LAST frontier only (shrinks as
+    //      the search saturates), visited anti-join keeps levels
+    //      minimal, unreached docs level -1 via the vertex join ----
+    "q160_bfs_levels" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("src"), pmod(col("src") * 7 + col("j") * 13, lit(n)).as("dst"))
+      val seeds = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      docs
+        .join(
+          graft.graph.Bfs.levels(edges, "src", "dst", seeds, "doc_id", maxDepth = 3)
+            .withColumnRenamed("v", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("level"), lit(-1L)).as("level"))
+    }),
+
+    // ---- exact triangle counting on the undirected q155 graph: edges
+    //      canonicalized low->high so each triangle enumerates ONCE as
+    //      its sorted triple (wedge join + closing join, 3 shuffles);
+    //      per-node counts, isolated-in-the-undirected-graph docs 0 ----
+    "q159_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("src"), pmod(col("src") * 7 + col("j") * 13, lit(n)).as("dst"))
+      docs
+        .join(
+          graft.graph.Triangles.perNode(edges, "src", "dst").withColumnRenamed("v", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+    }),
+
     // ---- HITS hubs & authorities over the q155 graph made asymmetric
     //      (out-degree cycles 1,2,3 by doc id): 3 fixed-point integer
     //      rounds, max-normalization riding a 1-row broadcast
@@ -4061,6 +4098,38 @@ object SparkEntry {
     "q153_stream_static_join" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""",
+    // BFS replay: level-synchronous expansion unrolled — frontier k+1
+    // = dst of frontier k minus everything already levelled.
+    "q160_bfs_levels" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*7 + 13*j) % (SELECT n FROM nn) AS dst
+               FROM documents, (VALUES (1),(2),(3)) AS t(j)),
+         l0 AS (SELECT doc_id AS v FROM documents WHERE doc_id % 97 = 0),
+         l1 AS (SELECT DISTINCT e.dst AS v FROM e JOIN l0 ON e.src = l0.v
+                WHERE e.dst NOT IN (SELECT v FROM l0)),
+         l2 AS (SELECT DISTINCT e.dst AS v FROM e JOIN l1 ON e.src = l1.v
+                WHERE e.dst NOT IN (SELECT v FROM l0 UNION ALL SELECT v FROM l1)),
+         l3 AS (SELECT DISTINCT e.dst AS v FROM e JOIN l2 ON e.src = l2.v
+                WHERE e.dst NOT IN (SELECT v FROM l0 UNION ALL SELECT v FROM l1 UNION ALL SELECT v FROM l2)),
+         lv AS (SELECT v, 0 AS level FROM l0 UNION ALL SELECT v, 1 FROM l1
+                UNION ALL SELECT v, 2 FROM l2 UNION ALL SELECT v, 3 FROM l3)
+         SELECT d.doc_id, CAST(COALESCE(lv.level, -1) AS BIGINT) AS level
+         FROM documents d LEFT JOIN lv ON d.doc_id = lv.v""",
+    // Triangle replay: identical canonicalization (least/greatest,
+    // self-loops out, distinct) + the identical wedge/closing joins.
+    "q159_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e0 AS (SELECT doc_id AS src, (doc_id*7 + 13*j) % (SELECT n FROM nn) AS dst
+                FROM documents, (VALUES (1),(2),(3)) AS t(j)),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+               FROM e0 WHERE src <> dst),
+         tri AS (SELECT e1.a, e1.b, e2.b AS c
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         x AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+         cnt AS (SELECT v, count(*) AS n_tri FROM x GROUP BY 1)
+         SELECT d.doc_id, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
+         FROM documents d LEFT JOIN cnt c ON d.doc_id = c.v""",
     // HITS replay: the identical integer rounds unrolled — raw sums,
     // then BIGINT floor-division max-normalization per side.
     "q158_hits" ->

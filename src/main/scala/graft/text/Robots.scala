@@ -71,8 +71,15 @@ object Robots {
   }
 
   /** Stamp each URL row with its RFC 9309 verdict. `keyCols` must
-    * uniquely identify a row (the verdict reduce groups on it);
-    * `pathCol` is the URL path to match rule prefixes against.
+    * uniquely identify a row (true duplicates would collapse in the
+    * verdict reduce); `pathCol` is the URL path to match rule
+    * prefixes against.
+    *
+    * Plan shape: ONE broadcast LEFT join (every URL row survives,
+    * matched or not) + ONE partial-aggregated struct-max reduce over
+    * the url columns — no join-back of a winner relation onto the
+    * corpus (that join-back is a corpus×corpus sort-merge join;
+    * PlanSpec pins its absence).
     */
   def decide(
       urls: DataFrame,
@@ -81,21 +88,26 @@ object Robots {
       hostCol: String,
       pathCol: String
   ): DataFrame = {
-    val key = keyCols.map(col)
+    require(keyCols.nonEmpty, "keyCols must name the URL row identity")
+    val u = urls.alias("u")
+    val r = rules.alias("r")
     // verdict encoded in a lexicographically-ordered struct: longest
-    // prefix first, and at equal length Allow (1) beats Disallow (0)
-    val verdict = struct(
-      length(col("prefix")).as("l"),
-      (col("rule") === "allow").cast("int").as("a"))
-    val winners = urls
-      .select((key :+ col(hostCol).as("__h") :+ col(pathCol).as("__p")): _*)
-      .join(broadcast(rules), col("__h") === rules("host") && col("__p").startsWith(col("prefix")))
-      .groupBy(key: _*)
+    // prefix first, and at equal length Allow (1) beats Disallow (0);
+    // unmatched rows (null rule from the left join) are excluded from
+    // the max, NOT encoded as a null-field struct (struct-with-null
+    // ordering is not "absent")
+    val verdict = when(
+      col("r.rule").isNotNull,
+      struct(
+        length(col("r.prefix")).as("l"),
+        (col("r.rule") === "allow").cast("int").as("a")))
+    u.join(
+      broadcast(r),
+      col(s"u.$hostCol") === col("r.host") && col(s"u.$pathCol").startsWith(col("r.prefix")),
+      "left")
+      .groupBy(urls.columns.map(c => col(s"u.$c")): _*)
       .agg(max(verdict).as("__v"))
-      .select((key :+ (col("__v.a") === 1).as("__allowed")): _*)
-    urls
-      .join(winners, keyCols, "left")
-      .withColumn("allowed", coalesce(col("__allowed"), lit(true)))
-      .drop("__allowed")
+      .withColumn("allowed", coalesce(col("__v").getField("a") === 1, lit(true)))
+      .drop("__v")
   }
 }

@@ -144,9 +144,20 @@ class PlanSpec extends SparkSpec {
     // over bucket-count rows, not raw data
     // q134: FULL OUTER reconciliation join — cannot broadcast; both
     // sides are tier-sized aggregates
+    // q158: the final auth⋈hub combine pairs two NODE-sized score
+    // relations on the vertex key — at web-graph scale neither side
+    // broadcasts, the shuffle join is the intended plan (the per-round
+    // joins inside the iteration are checkpoint-materialized and don't
+    // appear here)
+    // q159: the wedge and closing joins pair the EDGE relation with
+    // itself on edge keys — the all-pairs-within-neighborhood core of
+    // triangle counting; at graph scale neither side broadcasts
+    // q160: the final docs⋈levels combine pairs the vertex relation
+    // with the visited-set relation — both node-sized, no broadcast
     val allowSmj = Set(
       "q07_correct_fd", "q32_user_overlay", "q59_entity_corrector", "q67_corpus_pipeline",
-      "q119_series_ratio", "q134_tier_reconcile"
+      "q119_series_ratio", "q134_tier_reconcile", "q158_hits", "q159_triangles",
+      "q160_bfs_levels"
     )
     val dir = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip.contains(name)) {
