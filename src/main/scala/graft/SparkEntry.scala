@@ -1245,6 +1245,49 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "event_type")
     }),
 
+    // ---- STREAMING native session windows (the stateful window type
+    //      q83 pins in batch): watermarked session_window aggregation
+    //      in append mode — a session emits exactly once, when the
+    //      watermark passes its end; two far-future sentinel rounds
+    //      advance the watermark past every real session (a bounded
+    //      stream otherwise never finalizes its tail), and the
+    //      sentinel's own session filters out by key. Must equal the
+    //      batch session build (q83's oracle). ----
+    "q161_stream_session_window" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select("user_id", "ts")
+        .as[(Long, java.sql.Timestamp)]
+        .collect()
+        .toSeq
+      val maxTs = rows.map(_._2.getTime).max
+      def sentinel(days: Long) = (-1L, new java.sql.Timestamp(maxTs + days * 24L * 3600L * 1000L))
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+      val agg = ms.toDF()
+        .toDF("user_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"))
+      val sink = s"q161_sink_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      ms.addData(rows); q.processAllAvailable()
+      ms.addData(Seq(sentinel(10))); q.processAllAvailable()
+      ms.addData(Seq(sentinel(11))); q.processAllAvailable()
+      val out = s.table(sink)
+        .filter(col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+      q.stop()
+      out
+    }),
+
     // ---- multi-source BFS crawl depth over the q155 graph: frontier
     //      expansion from the doc_id%97 seed hosts, 3 hops — per
     //      round the join input is the LAST frontier only (shrinks as
@@ -4098,6 +4141,22 @@ object SparkEntry {
     "q153_stream_static_join" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""",
+    // Streaming session replay: on bounded input the watermarked
+    // streaming session aggregation equals the batch session build —
+    // q83's replay verbatim (sentinels filtered by key on the engine
+    // side never reach the output).
+    "q161_stream_session_window" ->
+      """WITH o AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         x AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx FROM o)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events
+         FROM x GROUP BY user_id, sidx""",
     // BFS replay: level-synchronous expansion unrolled — frontier k+1
     // = dst of frontier k minus everything already levelled.
     "q160_bfs_levels" ->
