@@ -1245,6 +1245,69 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "event_type")
     }),
 
+    // ---- personalized PageRank (topic-sensitive, Haveliwala 2002):
+    //      teleport mass returns ONLY to the doc_id%97 seed hosts, so
+    //      rank measures endorsement reachable FROM the seeds — same
+    //      integer supersteps as q155 with a seed-flagged base ----
+    "q162_personalized_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("src"), pmod(col("src") * 7 + col("j") * 13, lit(n)).as("dst"))
+      val seeds = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      graft.graph.PageRank.personalized(edges, "src", "dst", seeds, "doc_id", iters = 8)
+        .select(col("v").as("doc_id"), col("rank"))
+    }),
+
+    // ---- the streaming LAKEHOUSE loop end-to-end: micro-batches land
+    //      in the snapshot table EXACTLY-ONCE (q150's sink) and the
+    //      continuous 1h/1d/30d tier cascade advances INSIDE the same
+    //      foreachBatch — ingest and aggregate maintenance move in
+    //      lockstep, each update reading only the day partitions its
+    //      batch touched (q37's pruned incremental path). A deliberate
+    //      re-delivery after the stream proves the sink's no-op leaves
+    //      the tiers untouched too (lastApplied already covers it). ----
+    "q163_stream_lakehouse" -> ((s0, dir) => {
+      val root = "/tmp/graft_q163/tbl"
+      val tiers = "/tmp/graft_q163/tiers"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q163")
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .as[(Long, Long, java.sql.Timestamp, String)]
+        .collect()
+        .toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+      val q = ms.toDF().toDF("event_id", "user_id", "ts", "event_type")
+        .writeStream
+        .option("checkpointLocation", s"/tmp/graft_q163/chk_${System.nanoTime()}")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.SnapshotSink.appendBatch(root, b, id, tsCol = Some("ts")).foreach { _ =>
+            graft.snapshot.ContinuousRollup.update(s, root, tiers, Seq("event_type"), "ts", lit(0L))
+          }
+          ()
+        }
+        .start()
+      val third = rows.size / 3
+      rows.grouped(third.max(1)).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      q.stop()
+      // crash-retry re-delivery of the last batch: the sink swallows
+      // it, so no tier update runs and the cascade stays consistent
+      val hwm = graft.snapshot.SnapshotStore.lastStreamBatchId(root)
+      graft.streaming.SnapshotSink.appendBatch(
+        root,
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_type")),
+        hwm, tsCol = Some("ts"))
+      graft.snapshot.ContinuousRollup
+        .readTier(s, tiers, "1h")
+        .select(col("event_type"), col("bucket_ts"), col("point_count"))
+    }),
+
     // ---- STREAMING native session windows (the stateful window type
     //      q83 pins in batch): watermarked session_window aggregation
     //      in append mode — a session emits exactly once, when the
@@ -4141,6 +4204,79 @@ object SparkEntry {
     "q153_stream_static_join" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""",
+    // Personalized-PageRank replay: q155's recurrence with the
+    // seed-restricted base vector, unrolled.
+    "q162_personalized_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*7 + 13*j) % (SELECT n FROM nn) AS dst
+               FROM documents, (VALUES (1),(2),(3)) AS t(j)),
+         o AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         ns AS (SELECT count(*) AS k FROM documents WHERE doc_id % 97 = 0),
+         r0 AS (SELECT doc_id AS v,
+                       CASE WHEN doc_id % 97 = 0 THEN 1000000 // (SELECT k FROM ns) ELSE 0 END AS rank
+                FROM documents),
+         i1 AS (SELECT d.doc_id AS v,
+                       CASE WHEN d.doc_id % 97 = 0 THEN 150000 // (SELECT k FROM ns) ELSE 0 END
+                       + (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM documents d LEFT JOIN (
+                  SELECT e.dst AS v, sum(r.rank // o.deg) AS s
+                  FROM e JOIN r0 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1) s
+                ON d.doc_id = s.v),
+         i2 AS (SELECT d.doc_id AS v,
+                       CASE WHEN d.doc_id % 97 = 0 THEN 150000 // (SELECT k FROM ns) ELSE 0 END
+                       + (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM documents d LEFT JOIN (
+                  SELECT e.dst AS v, sum(r.rank // o.deg) AS s
+                  FROM e JOIN i1 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1) s
+                ON d.doc_id = s.v),
+         i3 AS (SELECT d.doc_id AS v,
+                       CASE WHEN d.doc_id % 97 = 0 THEN 150000 // (SELECT k FROM ns) ELSE 0 END
+                       + (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM documents d LEFT JOIN (
+                  SELECT e.dst AS v, sum(r.rank // o.deg) AS s
+                  FROM e JOIN i2 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1) s
+                ON d.doc_id = s.v),
+         i4 AS (SELECT d.doc_id AS v,
+                       CASE WHEN d.doc_id % 97 = 0 THEN 150000 // (SELECT k FROM ns) ELSE 0 END
+                       + (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM documents d LEFT JOIN (
+                  SELECT e.dst AS v, sum(r.rank // o.deg) AS s
+                  FROM e JOIN i3 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1) s
+                ON d.doc_id = s.v),
+         i5 AS (SELECT d.doc_id AS v,
+                       CASE WHEN d.doc_id % 97 = 0 THEN 150000 // (SELECT k FROM ns) ELSE 0 END
+                       + (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM documents d LEFT JOIN (
+                  SELECT e.dst AS v, sum(r.rank // o.deg) AS s
+                  FROM e JOIN i4 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1) s
+                ON d.doc_id = s.v),
+         i6 AS (SELECT d.doc_id AS v,
+                       CASE WHEN d.doc_id % 97 = 0 THEN 150000 // (SELECT k FROM ns) ELSE 0 END
+                       + (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM documents d LEFT JOIN (
+                  SELECT e.dst AS v, sum(r.rank // o.deg) AS s
+                  FROM e JOIN i5 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1) s
+                ON d.doc_id = s.v),
+         i7 AS (SELECT d.doc_id AS v,
+                       CASE WHEN d.doc_id % 97 = 0 THEN 150000 // (SELECT k FROM ns) ELSE 0 END
+                       + (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM documents d LEFT JOIN (
+                  SELECT e.dst AS v, sum(r.rank // o.deg) AS s
+                  FROM e JOIN i6 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1) s
+                ON d.doc_id = s.v),
+         i8 AS (SELECT d.doc_id AS v,
+                       CASE WHEN d.doc_id % 97 = 0 THEN 150000 // (SELECT k FROM ns) ELSE 0 END
+                       + (85 * COALESCE(s.s, 0)) // 100 AS rank
+                FROM documents d LEFT JOIN (
+                  SELECT e.dst AS v, sum(r.rank // o.deg) AS s
+                  FROM e JOIN i7 r ON e.src = r.v JOIN o ON e.src = o.src GROUP BY 1) s
+                ON d.doc_id = s.v)
+         SELECT v AS doc_id, CAST(rank AS BIGINT) AS rank FROM i8""",
+    // Lakehouse-loop replay: exactly-once ingest + incremental tier
+    // maintenance must equal the one-shot batch rollup.
+    "q163_stream_lakehouse" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS point_count
+         FROM events GROUP BY 1, 2""",
     // Streaming session replay: on bounded input the watermarked
     // streaming session aggregation equals the batch session build —
     // q83's replay verbatim (sentinels filtered by key on the engine

@@ -25,6 +25,18 @@ class PageRankSpec extends SparkSpec {
     assert(r.length == n && r.map(_._2).distinct.toSeq == Seq(1000000L / n))
   }
 
+  test("personalized: teleport returns only to seeds; unreached-from-seeds nodes drain to 0") {
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("v")
+    def run(i: Int) = PageRank.personalized(edges, "src", "dst", seeds, "v", iters = i)
+      .as[(Long, Long)].collect().toMap
+    // r0 = (1000000, 0, 0), base(0)=150000:
+    //   iter1: r=(150000, 850000, 0)
+    //   iter2: r=(150000 + 85*850000//100, 85*150000//100, 0)
+    assert(run(1) == Map(0L -> 150000L, 1L -> 850000L, 2L -> 0L))
+    assert(run(2) == Map(0L -> 872500L, 1L -> 127500L, 2L -> 0L))
+  }
+
   test("rank mass is conserved up to floor loss and a sink-free graph converges toward the hub") {
     // star with a return path: every spoke points at the hub, hub cycles the spokes
     val spokes = (1L to 9L)
