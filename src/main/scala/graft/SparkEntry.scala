@@ -1245,6 +1245,17 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "event_type")
     }),
 
+    // ---- training-mix temperature reweighting (α=0.5, the XLM-R
+    //      multilingual sampling shape): per-lang token mass →
+    //      sqrt-tempered sampling weights + expected epochs under a
+    //      1M-token budget; the normalization denominator is an
+    //      INTEGER micro-unit sum (order-free) on a 1-row broadcast ----
+    "q164_mixture_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.text.Mixture.temperatureWeights(d, "lang", "n_tokens", budgetTokens = 1000000L)
+    }),
+
     // ---- personalized PageRank (topic-sensitive, Haveliwala 2002):
     //      teleport mass returns ONLY to the doc_id%97 seed hosts, so
     //      rank measures endorsement reachable FROM the seeds — same
@@ -4204,6 +4215,19 @@ object SparkEntry {
     "q153_stream_static_join" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""",
+    // Mixture replay: identical integer micro-unit denominators and
+    // the identical left-associated double expression.
+    "q164_mixture_weights" ->
+      """WITH d AS (SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
+         p AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS group_tokens FROM d GROUP BY 1),
+         s AS (SELECT lang, group_tokens,
+                      CAST(floor(sqrt(CAST(group_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS su
+               FROM p),
+         t AS (SELECT CAST(sum(su) AS BIGINT) AS dd FROM s)
+         SELECT s.lang, s.group_tokens,
+                CAST(s.su AS DOUBLE) / CAST(t.dd AS DOUBLE) AS weight,
+                1000000.0 * s.su / t.dd / s.group_tokens AS epochs
+         FROM s, t""",
     // Personalized-PageRank replay: q155's recurrence with the
     // seed-restricted base vector, unrolled.
     "q162_personalized_pagerank" ->
