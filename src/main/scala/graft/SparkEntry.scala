@@ -1256,6 +1256,80 @@ object SparkEntry {
       graft.text.Mixture.temperatureWeights(d, "lang", "n_tokens", budgetTokens = 1000000L)
     }),
 
+    // ---- LTTB visual downsample (fixed-anchor parallel variant):
+    //      ONE representative point per (series, hour) — the point
+    //      forming the largest triangle against the previous bucket's
+    //      last / next bucket's first point, areas as exact integer
+    //      cross products so both engines pick identical points ----
+    "q165_lttb_downsample" -> ((s, dir) => {
+      graft.rollup.Downsample
+        .lttb(t(s, dir, "events"), Seq("event_type"), "ts", "value", "1h", "event_id")
+        .select("event_type", "bucket_ts", "sel_ts", "event_id", "sel_v", "area2", "n_points")
+    }),
+
+    // ---- named refs (Iceberg tags + branches): tag v1 pins snapshot
+    //      1 forever; branch dev forks there METADATA-ONLY (no data
+    //      bytes copied) and takes an append main never sees; main
+    //      advances independently. One output, three reads: main
+    //      (r0+r1), the v1 tag (r0), the dev branch (r0+r2) ----
+    "q166_branch_refs" -> ((s, dir) => {
+      val base = "/tmp/graft_q166"
+      graft.snapshot.SnapshotStore.deleteRecursively(base)
+      val root = s"$base/src"
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(3)) === 0), tsCol = Some("ts"))
+      graft.snapshot.Refs.tag(root, "v1", 1L)
+      val dev = graft.snapshot.Refs.branch(root, "dev", 1L)
+      graft.snapshot.SnapshotStore.append(dev, ev.filter(pmod(col("event_id"), lit(3)) === 2), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(3)) === 1), tsCol = Some("ts"))
+      val m = graft.snapshot.SnapshotStore.read(s, root).withColumn("ref", lit("main"))
+      val v1 = graft.snapshot.Refs.readTag(s, root, "v1").withColumn("ref", lit("v1"))
+      val d = graft.snapshot.SnapshotStore.read(s, dev).withColumn("ref", lit("dev"))
+      m.unionByName(v1).unionByName(d).select("ref", "event_id", "user_id", "ts", "event_type")
+    }),
+
+    // ---- incremental JOIN-view maintenance: V = events ⋈ user-dim
+    //      kept as its own snapshot store, advanced per update by the
+    //      delta-join ΔV = ΔA⋈B_new ∪ A_old⋈ΔB — each update reads
+    //      only the delta snapshots (never re-joins the full fact
+    //      table), dims broadcast. Two updates (init, then both sides
+    //      advancing at once) must land exactly the full join ----
+    "q167_join_view" -> ((s, dir) => {
+      val base = "/tmp/graft_q167"
+      graft.snapshot.SnapshotStore.deleteRecursively(base)
+      val (aRoot, bRoot, vRoot) = (s"$base/a", s"$base/b", s"$base/v")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      val dim = t(s, dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(5)))
+      graft.snapshot.SnapshotStore.append(aRoot, ev.filter(pmod(col("event_id"), lit(2)) === 0), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.append(bRoot, dim.filter(pmod(col("user_id"), lit(2)) === 0))
+      graft.snapshot.JoinView.update(s, vRoot, aRoot, bRoot, Seq("user_id"))
+      graft.snapshot.SnapshotStore.append(aRoot, ev.filter(pmod(col("event_id"), lit(2)) === 1), tsCol = Some("ts"))
+      graft.snapshot.SnapshotStore.append(bRoot, dim.filter(pmod(col("user_id"), lit(2)) === 1))
+      graft.snapshot.JoinView.update(s, vRoot, aRoot, bRoot, Seq("user_id"))
+      graft.snapshot.JoinView.read(s, vRoot).select("user_id", "event_id", "ts", "event_type", "cohort")
+    }),
+
+    // ---- label-propagation communities (Raghavan 2007, synchronous
+    //      replayable variant): ring-of-10 blocks converge to per-block
+    //      labels in 3 supersteps — exact integer argmax, ties to the
+    //      smallest label, all nodes updating from the previous round ----
+    "q168_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val edges = docs
+        .select(col("doc_id").as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(
+          col("src"),
+          (col("src") - pmod(col("src"), lit(10)) +
+            pmod(pmod(col("src"), lit(10)) + col("j"), lit(10))).as("dst")
+        )
+      graft.graph.LabelProp
+        .communities(edges, "src", "dst", iters = 3)
+        .select(col("v").as("doc_id"), col("label"))
+    }),
+
     // ---- personalized PageRank (topic-sensitive, Haveliwala 2002):
     //      teleport mass returns ONLY to the doc_id%97 seed hosts, so
     //      rank measures endorsement reachable FROM the seeds — same
@@ -4228,6 +4302,76 @@ object SparkEntry {
                 CAST(s.su AS DOUBLE) / CAST(t.dd AS DOUBLE) AS weight,
                 1000000.0 * s.su / t.dd / s.group_tokens AS epochs
          FROM s, t""",
+    // LTTB replay: identical integer coordinates (epoch seconds,
+    // value micros), identical bucket-boundary anchors via lag/lead
+    // over per-bucket ordered first/last, identical doubled-area
+    // cross product, ties toward the earliest (x, event_id).
+    "q165_lttb_downsample" ->
+      """WITH p AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket_ts, ts, event_id, value,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS x,
+                  CAST(CAST(round(value, 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS y
+           FROM events),
+         fl AS (
+           SELECT event_type, bucket_ts,
+                  first(x ORDER BY ts, event_id) AS fx, first(y ORDER BY ts, event_id) AS fy,
+                  last(x ORDER BY ts, event_id) AS lx, last(y ORDER BY ts, event_id) AS ly
+           FROM p GROUP BY 1, 2),
+         an AS (
+           SELECT event_type, bucket_ts,
+                  COALESCE(lag(lx) OVER w, fx) AS ax, COALESCE(lag(ly) OVER w, fy) AS ay,
+                  COALESCE(lead(fx) OVER w, lx) AS cx, COALESCE(lead(fy) OVER w, ly) AS cy
+           FROM fl WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)),
+         r AS (
+           SELECT p.event_type, p.bucket_ts, p.ts, p.event_id, p.value,
+                  CAST(abs((p.x - an.ax)*(an.cy - an.ay) - (an.cx - an.ax)*(p.y - an.ay)) AS BIGINT) AS area2,
+                  row_number() OVER (
+                    PARTITION BY p.event_type, p.bucket_ts
+                    ORDER BY abs((p.x - an.ax)*(an.cy - an.ay) - (an.cx - an.ax)*(p.y - an.ay)) DESC,
+                             p.x, p.event_id) AS rn,
+                  count(*) OVER (PARTITION BY p.event_type, p.bucket_ts) AS n_points
+           FROM p JOIN an USING (event_type, bucket_ts))
+         SELECT event_type, bucket_ts, ts AS sel_ts, event_id, value AS sel_v, area2,
+                CAST(n_points AS BIGINT) AS n_points
+         FROM r WHERE rn = 1""",
+    // Refs replay: main = snapshots 1+2 (r0+r1), tag v1 = snapshot 1
+    // (r0), dev branch = fork at 1 plus its own append (r0+r2).
+    "q166_branch_refs" ->
+      """SELECT 'main' AS ref, event_id, user_id, ts, event_type FROM events WHERE event_id % 3 IN (0, 1)
+         UNION ALL
+         SELECT 'v1' AS ref, event_id, user_id, ts, event_type FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT 'dev' AS ref, event_id, user_id, ts, event_type FROM events WHERE event_id % 3 IN (0, 2)""",
+    // Join-view replay: after both updates the materialized view IS
+    // the full inner join — every event paired with its user's dim row.
+    "q167_join_view" ->
+      """SELECT user_id, event_id, ts, event_type, user_id % 5 AS cohort FROM events""",
+    // Label-propagation replay: 3 synchronous rounds unrolled — each
+    // round the exact (count DESC, label ASC) argmax over neighbor
+    // labels of the PREVIOUS round, no-inbound nodes keeping theirs.
+    "q168_label_prop" ->
+      """WITH e0 AS (SELECT doc_id AS src,
+                (doc_id - doc_id % 10) + ((doc_id % 10 + j) % 10) AS dst
+              FROM documents, (VALUES (1),(2),(3)) AS t(j)),
+         e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         n AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+         l0 AS (SELECT v, v AS label FROM n),
+         f1 AS (SELECT e.dst AS v, l.label, count(*) AS c FROM e JOIN l0 l ON e.src = l.v GROUP BY 1, 2),
+         b1 AS (SELECT v, label FROM (
+                  SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn FROM f1)
+                WHERE rn = 1),
+         l1 AS (SELECT l0.v, COALESCE(b1.label, l0.label) AS label FROM l0 LEFT JOIN b1 ON l0.v = b1.v),
+         f2 AS (SELECT e.dst AS v, l.label, count(*) AS c FROM e JOIN l1 l ON e.src = l.v GROUP BY 1, 2),
+         b2 AS (SELECT v, label FROM (
+                  SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn FROM f2)
+                WHERE rn = 1),
+         l2 AS (SELECT l1.v, COALESCE(b2.label, l1.label) AS label FROM l1 LEFT JOIN b2 ON l1.v = b2.v),
+         f3 AS (SELECT e.dst AS v, l.label, count(*) AS c FROM e JOIN l2 l ON e.src = l.v GROUP BY 1, 2),
+         b3 AS (SELECT v, label FROM (
+                  SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn FROM f3)
+                WHERE rn = 1),
+         l3 AS (SELECT l2.v, COALESCE(b3.label, l2.label) AS label FROM l2 LEFT JOIN b3 ON l2.v = b3.v)
+         SELECT v AS doc_id, label FROM l3""",
     // Personalized-PageRank replay: q155's recurrence with the
     // seed-restricted base vector, unrolled.
     "q162_personalized_pagerank" ->

@@ -116,7 +116,10 @@ class PlanSpec extends SparkSpec {
       // construction runs a snapshot update + archival retention
       "q146_retention_archive",
       // construction writes/vacuums/stages/rolls back a snapshot store
-      "q147_vacuum", "q148_wap_publish", "q149_rollback"
+      "q147_vacuum", "q148_wap_publish", "q149_rollback",
+      // construction forks/tags/appends snapshot stores (q166) and
+      // runs two incremental join-view updates (q167)
+      "q166_branch_refs", "q167_join_view"
     )
     // broadcast-model or tiny-side joins where a nested-loop is the
     // right plan: brute-force/centroid crosses (exactness baselines),
@@ -125,10 +128,12 @@ class PlanSpec extends SparkSpec {
     // nested loop against one row IS the right plan
     // q117/q123: the staleness/midpoint anchor is a 1-row broadcast
     // cross join, same shape as q100
+    // q164: the normalization denominator is a 1-row broadcast cross
+    // join against the vocabulary-sized stratum relation, same shape
     val allowNlj = Set(
       "q15_ann_brute", "q28_ann_ivf", "q63_ann_ivf_kmeans", "q66_ann_pq", "q69_ann_ivf_pq",
       "q35_embed_neardup", "q31_imputer", "q33_evaluate", "q100_decayed_topk",
-      "q117_staleness", "q123_top_movers"
+      "q117_staleness", "q123_top_movers", "q164_mixture_weights"
     )
     // row_id-keyed apply/overlay joins: both sides scale with the
     // table, so a shuffle join IS the 100-TB plan (full-outer overlay
