@@ -1330,6 +1330,80 @@ object SparkEntry {
         .select(col("v").as("doc_id"), col("label"))
     }),
 
+    // ---- streaming LEFT OUTER stream-stream join: view→purchase
+    //      attribution where UNMATCHED views must still emit (with a
+    //      null purchase) — the outer row can only be declared once
+    //      the watermark proves no future match exists, so state is
+    //      evicted AND completed: the semantics q139's inner join
+    //      can't express. Far-future sentinels on both streams flush
+    //      the bounded tail; on bounded input = batch LEFT range join ----
+    "q169_stream_outer_join" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      def side(tpe: String) = ev
+        .filter(col("event_type") === tpe)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[(Long, java.sql.Timestamp, Long)]
+        .collect()
+        .toSeq
+      val maxTs = ev.select(max(col("ts")).cast("timestamp")).as[java.sql.Timestamp].collect()(0)
+      val sentinel = new java.sql.Timestamp(maxTs.getTime + 100L * 3600 * 1000)
+      val msV = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val msB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val v = msV.toDF().toDF("view_id", "view_ts", "user_id").withWatermark("view_ts", "1 hour")
+      val b = msB.toDF().toDF("purchase_id", "purchase_ts", "buyer_id").withWatermark("purchase_ts", "1 hour")
+      val joined = v.join(
+        b,
+        col("user_id") === col("buyer_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer"
+      )
+      val sink = s"q169_sink_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      msV.addData(side("view"))
+      msB.addData(side("purchase"))
+      q.processAllAvailable()
+      // sentinel round: advances both watermarks past every view's
+      // match horizon so pending outer rows emit; sentinels filter out
+      msV.addData(Seq((-1L, sentinel, -1L)))
+      msB.addData(Seq((-1L, sentinel, -1L)))
+      q.processAllAvailable()
+      val out = s
+        .table(sink)
+        .filter(col("view_id") >= 0)
+        .select(col("view_id"), col("user_id"), col("view_ts"), col("purchase_id"))
+      q.stop()
+      out
+    }),
+
+    // ---- merkle-style replica reconciliation: two copies of the
+    //      events table compare per-DAY order-free XOR digests — only
+    //      (day, digest, count) rows cross the wire, and the audit
+    //      names the diverged day (dropped rows) and the missing day
+    //      without shipping data ----
+    "q170_replica_diff" -> ((s, dir) => {
+      val a = t(s, dir, "events").withColumn("day", date_trunc("day", col("ts")))
+      val b = a
+        .filter(!(pmod(col("event_id"), lit(997)) === 5))
+        .filter(col("day") =!= to_timestamp(lit("2024-01-30")))
+      graft.snapshot.ReplicaDiff
+        .diff(a, b, Seq("day"), Seq("event_id", "user_id", "event_type"))
+        .select("day", "digest_a", "n_a", "digest_b", "n_b", "status")
+    }),
+
+    // ---- lagged cross-correlation: does series B LEAD series A?
+    //      Pearson over (x_t, y_{t-k}) per hour for k in -2..2 —
+    //      integer micro-unit co-moments, epoch-second lag alignment,
+    //      one final IEEE float chain (q86's contract, lag-indexed) ----
+    "q171_lag_correlation" -> ((s, dir) => {
+      graft.rollup.Correlate
+        .laggedPearson(t(s, dir, "events"), "event_type", "ts", "value", "hour", Seq(-2, -1, 0, 1, 2))
+    }),
+
     // ---- personalized PageRank (topic-sensitive, Haveliwala 2002):
     //      teleport mass returns ONLY to the doc_id%97 seed hosts, so
     //      rank measures endorsement reachable FROM the seeds — same
@@ -4372,6 +4446,61 @@ object SparkEntry {
                 WHERE rn = 1),
          l3 AS (SELECT l2.v, COALESCE(b3.label, l2.label) AS label FROM l2 LEFT JOIN b3 ON l2.v = b3.v)
          SELECT v AS doc_id, label FROM l3""",
+    // Outer-join replay: on bounded input the watermarked left-outer
+    // stream-stream join equals the batch LEFT range join — matched
+    // pairs identical to q139, unmatched views with a null purchase.
+    "q169_stream_outer_join" ->
+      """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts, b.event_id AS purchase_id
+         FROM events v LEFT JOIN events b
+           ON v.user_id = b.user_id AND b.event_type = 'purchase'
+          AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+         WHERE v.event_type = 'view'""",
+    // Replica-diff replay: identical portable 60-bit md5-prefix row
+    // hashes, identical order-free XOR day digests on both replicas,
+    // identical full-outer status casing.
+    "q170_replica_diff" ->
+      """WITH a AS (SELECT date_trunc('day', ts) AS day,
+                bit_xor(CAST(('0x' || substr(md5(
+                  CAST(event_id AS VARCHAR) || chr(1) || CAST(user_id AS VARCHAR) || chr(1) || event_type
+                ), 1, 15)) AS BIGINT)) AS digest_a,
+                count(*) AS n_a
+              FROM events GROUP BY 1),
+         b AS (SELECT date_trunc('day', ts) AS day,
+                bit_xor(CAST(('0x' || substr(md5(
+                  CAST(event_id AS VARCHAR) || chr(1) || CAST(user_id AS VARCHAR) || chr(1) || event_type
+                ), 1, 15)) AS BIGINT)) AS digest_b,
+                count(*) AS n_b
+              FROM events
+              WHERE NOT event_id % 997 = 5 AND date_trunc('day', ts) <> TIMESTAMP '2024-01-30 00:00:00'
+              GROUP BY 1)
+         SELECT COALESCE(a.day, b.day) AS day, digest_a, n_a, digest_b, n_b,
+                CASE WHEN digest_a IS NULL THEN 'missing_in_a'
+                     WHEN digest_b IS NULL THEN 'missing_in_b'
+                     WHEN digest_a = digest_b AND n_a = n_b THEN 'match'
+                     ELSE 'diverged' END AS status
+         FROM a FULL OUTER JOIN b ON a.day = b.day""",
+    // Lagged-correlation replay: q86's exact co-moment contract with
+    // the epoch-second lag alignment and the lag in the group key.
+    "q171_lag_correlation" ->
+      """WITH h AS (SELECT event_type AS series, date_trunc('hour', ts) AS bucket_ts,
+                sum(CAST(CAST(round(value, 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT)) AS vi
+              FROM events GROUP BY 1, 2),
+         l AS (SELECT * FROM (VALUES (-2),(-1),(0),(1),(2)) AS t(lag)),
+         p AS (SELECT a.series AS type_a, b.series AS type_b, l.lag,
+                 CAST(a.vi AS HUGEINT) AS x, CAST(b.vi AS HUGEINT) AS y
+               FROM h a, l, h b
+               WHERE CAST(epoch(a.bucket_ts) AS BIGINT) = CAST(epoch(b.bucket_ts) AS BIGINT) + l.lag * 3600
+                 AND a.series < b.series),
+         s AS (SELECT type_a, type_b, lag, count(*) AS n_buckets,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+               FROM p GROUP BY 1, 2, 3)
+         SELECT type_a, type_b, lag, n_buckets,
+                CASE WHEN (n_buckets*sxx - sx*sx) > 0 AND (n_buckets*syy - sy*sy) > 0
+                     THEN CAST(CAST(n_buckets*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+                          / (sqrt(CAST(CAST(n_buckets*sxx - sx*sx AS VARCHAR) AS DOUBLE))
+                             * sqrt(CAST(CAST(n_buckets*syy - sy*sy AS VARCHAR) AS DOUBLE)))
+                     END AS corr
+         FROM s WHERE n_buckets >= 2""",
     // Personalized-PageRank replay: q155's recurrence with the
     // seed-restricted base vector, unrolled.
     "q162_personalized_pagerank" ->

@@ -90,4 +90,79 @@ object Correlate {
         col("n_buckets"),
         when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))).as("corr"))
   }
+
+  /** Lagged cross-correlation — "does series B lead series A by k
+    * buckets?" (alerting on upstream saturation, cache-warm effects,
+    * crawl-rate → error-rate causality): Pearson over the pairs
+    * `(x_t, y_{t-k})` for every requested lag k, per (A, B) series
+    * pair with A < B. The |corr|-maximizing lag is the lead/lag
+    * estimate; lag 0 reproduces [[pairwisePearson]].
+    *
+    * Same determinism contract as [[pairwisePearson]] (integer
+    * micro-unit co-moments, one final IEEE float chain); the alignment
+    * join runs on exact integer epoch seconds (`bucket epoch + k·width`),
+    * never on shifted timestamps. Scale shape: the lag explosion
+    * multiplies only the BUCKETED relation (|series|·|buckets|·|lags|
+    * rows), never the raw stream; everything downstream is the same
+    * partial-aggregated pair reduction.
+    */
+  def laggedPearson(
+      df: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucket: String,
+      lags: Seq[Int],
+      minBuckets: Int = 2): DataFrame = {
+    require(lags.nonEmpty, "need at least one lag")
+    val widthSec = bucket match {
+      case "minute" => 60L
+      case "hour"   => 3600L
+      case "day"    => 86400L
+      case other    => throw new IllegalArgumentException(s"unsupported bucket '$other'")
+    }
+    val micro = (round(col(valueCol), 6).cast("decimal(16,6)") * lit(1000000)).cast("long")
+    val series = df
+      .groupBy(col(seriesCol).as("series"), date_trunc(bucket, col(tsCol)).as("bucket_ts"))
+      .agg(sum(micro).as("vi"))
+
+    val a = series.select(
+      col("series").as("type_a"),
+      unix_timestamp(col("bucket_ts")).as("__es"),
+      col("vi").cast("decimal(38,0)").as("x"))
+    val b = series
+      .withColumn("lag", explode(array(lags.map(l => lit(l)): _*)))
+      .select(
+        col("series").as("type_b"),
+        col("lag"),
+        (unix_timestamp(col("bucket_ts")) + col("lag") * lit(widthSec)).as("__es"),
+        col("vi").cast("decimal(38,0)").as("y"))
+
+    val stats = a
+      .join(b, Seq("__es"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b", "lag")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy")
+      )
+
+    val n = col("n_buckets").cast("decimal(38,0)")
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+
+    stats
+      .filter(col("n_buckets") >= minBuckets)
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("lag"),
+        col("n_buckets"),
+        when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))).as("corr"))
+  }
 }

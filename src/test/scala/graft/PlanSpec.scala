@@ -108,8 +108,9 @@ class PlanSpec extends SparkSpec {
       // path) — audited by its oracle + StreamingRollupSpec
       "q124_streaming_tier",
       // construction runs full streaming queries (stream-stream join /
-      // watermarked dedup) — audited by their oracles
-      "q139_stream_stream_join", "q140_stream_dedup",
+      // watermarked dedup / outer stream-stream join) — audited by
+      // their oracles
+      "q139_stream_stream_join", "q140_stream_dedup", "q169_stream_outer_join",
       // construction writes a snapshot store twice (q57-style side
       // effects) — audited by their oracles + SnapshotSpec
       "q137_time_travel", "q138_incremental_read", "q141_schema_evolution", "q144_row_deletes",
@@ -159,10 +160,12 @@ class PlanSpec extends SparkSpec {
     // triangle counting; at graph scale neither side broadcasts
     // q160: the final docs⋈levels combine pairs the vertex relation
     // with the visited-set relation — both node-sized, no broadcast
+    // q170: FULL OUTER digest reconciliation — cannot broadcast; both
+    // sides are partition-count-sized digest relations (q134's shape)
     val allowSmj = Set(
       "q07_correct_fd", "q32_user_overlay", "q59_entity_corrector", "q67_corpus_pipeline",
       "q119_series_ratio", "q134_tier_reconcile", "q158_hits", "q159_triangles",
-      "q160_bfs_levels"
+      "q160_bfs_levels", "q170_replica_diff"
     )
     val dir = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip.contains(name)) {

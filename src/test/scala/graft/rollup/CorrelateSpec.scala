@@ -65,4 +65,43 @@ class CorrelateSpec extends SparkSpec {
       .select(col("series"), timestamp_seconds(col("sec")).as("ts"), col("value"))
     assert(Correlate.pairwisePearson(sparse, "series", "ts", "value", "hour").count() == 0)
   }
+
+  test("laggedPearson: a shifted copy correlates perfectly at exactly its shift") {
+    // b is a delayed-by-1h copy of a: pairing (x_t, y_{t-k}) aligns at k = -1
+    val v = Seq(1.0, 5.0, 2.0, 8.0, 3.0)
+    val rows =
+      v.zipWithIndex.map { case (x, i) => ("a", i * 3600L, x) } ++
+        v.zipWithIndex.map { case (x, i) => ("b", (i + 1) * 3600L, x) }
+    val df = rows
+      .toDF("series", "sec", "value")
+      .select(col("series"), timestamp_seconds(col("sec")).as("ts"), col("value"))
+    // minBuckets = 3: a 2-point overlap is always +/-1 by definition
+    val got = Correlate
+      .laggedPearson(df, "series", "ts", "value", "hour", Seq(-2, -1, 0, 1, 2), minBuckets = 3)
+      .collect()
+      .map(r => r.getInt(2) -> r)
+      .toMap
+    assert(math.abs(got(-1).getDouble(4) - 1.0) < 1e-12)
+    assert(got(-1).getLong(3) == 5L) // all five buckets align at the true shift
+    // misaligned lags overlap on fewer, non-collinear points: the
+    // |corr|-argmax must be the true shift, strictly
+    for (k <- got.keys if k != -1 && !got(k).isNullAt(4))
+      assert(math.abs(got(k).getDouble(4)) < 0.999, s"lag $k")
+  }
+
+  test("laggedPearson: lag 0 reproduces pairwisePearson") {
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 3600L, 2.0), ("a", 7200L, 5.0), ("a", 10800L, 3.0),
+      ("b", 0L, 2.0), ("b", 3600L, 1.0), ("b", 7200L, 9.0), ("b", 10800L, 4.0)
+    ).toDF("series", "sec", "value")
+      .select(col("series"), timestamp_seconds(col("sec")).as("ts"), col("value"))
+    val lag0 = Correlate
+      .laggedPearson(df, "series", "ts", "value", "hour", Seq(0))
+      .select("type_a", "type_b", "n_buckets", "corr")
+      .collect()(0)
+    val pair = Correlate.pairwisePearson(df, "series", "ts", "value", "hour").collect()(0)
+    assert(lag0.getString(0) == pair.getString(0) && lag0.getString(1) == pair.getString(1))
+    assert(lag0.getLong(2) == pair.getLong(2))
+    assert(lag0.getDouble(3) == pair.getDouble(3)) // bit-identical, same arithmetic
+  }
 }
