@@ -1404,6 +1404,50 @@ object SparkEntry {
         .laggedPearson(t(s, dir, "events"), "event_type", "ts", "value", "hour", Seq(-2, -1, 0, 1, 2))
     }),
 
+    // ---- bucketed co-located join: facts and dim both written
+    //      bucketed+sorted on user_id (the north rule's bucket-by-hash
+    //      layout), so the recurring join needs ZERO exchanges — at
+    //      100 TB the nightly fact⋈dim shuffles nothing (BucketedJoin
+    //      Spec pins the exchange-free plan; here the joined result
+    //      aggregates to per-cohort counts) ----
+    "q172_bucketed_join" -> ((s, dir) => {
+      val base = "/tmp/graft_q172"
+      graft.snapshot.SnapshotStore.deleteRecursively(base)
+      val ev = t(s, dir, "events").select("event_id", "user_id", "event_type")
+      val dim = ev.select("user_id").distinct().withColumn("cohort", pmod(col("user_id"), lit(5)))
+      graft.operators.Bucketing.writeBucketed(ev, "q172_facts", s"$base/facts", "user_id", 8)
+      graft.operators.Bucketing.writeBucketed(dim, "q172_dim", s"$base/dim", "user_id", 8)
+      graft.operators.Bucketing
+        .colocatedJoin(s, "q172_facts", "q172_dim", "user_id")
+        .groupBy("cohort", "event_type")
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- KMV distinct sketch: per-series distinct-user estimate as
+    //      the k smallest distinct 60-bit hashes — the simplest
+    //      MERGEABLE distinct sketch (union + min-k re-rolls through
+    //      tiers); estimate (k-1)·2^60/θ, exact below k ----
+    "q173_kmv_distinct" -> ((s, dir) => {
+      graft.rollup.Kmv.distinctEstimate(t(s, dir, "events"), Seq("event_type"), "user_id", k = 64)
+    }),
+
+    // ---- crawl politeness schedule: per-host serialized fetch plan
+    //      under RFC 9309 Crawl-delay — priority-ordered slots, fetch
+    //      offset slot·delay; hosts are independent partitions ----
+    "q174_crawl_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sfx = regexp_extract(col("source"), "^src(\\d+)$", 1).cast("int")
+      graft.text.Politeness
+        .schedule(
+          docs.select(col("doc_id"), col("source"), col("n_chars")),
+          "source",
+          priority = col("n_chars"),
+          tieBreak = "doc_id",
+          delaySec = lit(1) + pmod(sfx, lit(3))
+        )
+        .select("source", "doc_id", "n_chars", "slot", "fetch_offset_s")
+    }),
+
     // ---- personalized PageRank (topic-sensitive, Haveliwala 2002):
     //      teleport mass returns ONLY to the doc_id%97 seed hosts, so
     //      rank measures endorsement reachable FROM the seeds — same
@@ -4501,6 +4545,35 @@ object SparkEntry {
                              * sqrt(CAST(CAST(n_buckets*syy - sy*sy AS VARCHAR) AS DOUBLE)))
                      END AS corr
          FROM s WHERE n_buckets >= 2""",
+    // Bucketed-join replay: the co-located join changes the PLAN, not
+    // the answer — per-cohort counts off the plain join.
+    "q172_bucketed_join" ->
+      """SELECT user_id % 5 AS cohort, event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
+    // KMV replay: identical 60-bit hashes, identical min-k rank
+    // filter, identical (k-1)·2^60/θ float division.
+    "q173_kmv_distinct" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM events),
+         r AS (SELECT event_type, h,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+              FROM d)
+         SELECT event_type, count(*) AS k_used, max(h) AS kth_hash,
+                CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                     ELSE 63e0 * 1152921504606846976e0 / CAST(max(h) AS DOUBLE) END AS est_distinct
+         FROM r WHERE rk <= 64 GROUP BY 1""",
+    // Schedule replay: identical per-host (priority DESC, id) slots
+    // and the identical integer slot·delay offsets.
+    "q174_crawl_schedule" ->
+      """WITH u AS (SELECT source, doc_id, n_chars,
+                1 + CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT) % 3 AS delay,
+                row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) - 1 AS slot
+              FROM documents)
+         SELECT source, doc_id, n_chars, CAST(slot AS BIGINT) AS slot,
+                CAST(slot * delay AS BIGINT) AS fetch_offset_s
+         FROM u""",
     // Personalized-PageRank replay: q155's recurrence with the
     // seed-restricted base vector, unrolled.
     "q162_personalized_pagerank" ->

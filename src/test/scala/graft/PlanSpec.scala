@@ -162,10 +162,12 @@ class PlanSpec extends SparkSpec {
     // with the visited-set relation — both node-sized, no broadcast
     // q170: FULL OUTER digest reconciliation — cannot broadcast; both
     // sides are partition-count-sized digest relations (q134's shape)
+    // q172: the co-located bucketed join IS a sort-merge join — with
+    // ZERO exchanges, which is the point (BucketingSpec pins that)
     val allowSmj = Set(
       "q07_correct_fd", "q32_user_overlay", "q59_entity_corrector", "q67_corpus_pipeline",
       "q119_series_ratio", "q134_tier_reconcile", "q158_hits", "q159_triangles",
-      "q160_bfs_levels", "q170_replica_diff"
+      "q160_bfs_levels", "q170_replica_diff", "q172_bucketed_join"
     )
     val dir = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip.contains(name)) {
