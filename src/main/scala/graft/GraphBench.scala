@@ -1,6 +1,6 @@
 package graft
 
-import graft.graph.{Bfs, PageRank, Triangles}
+import graft.graph.{Bfs, LabelProp, PageRank, Triangles}
 import graft.spark.Sessions
 import org.apache.spark.sql.functions._
 
@@ -41,13 +41,16 @@ object GraphBench {
     val (bfsRows, bfsSec) = time {
       Bfs.levels(edges, "src", "dst", seeds, "v", maxDepth = 3).count()
     }
+    val (lpRows, lpSec) = time {
+      LabelProp.communities(edges, "src", "dst", iters = 3).count()
+    }
 
     val e = 3L * n
     println(
       s"""{"metric":"graph_bench","nodes":$n,"edges":$e,"cores":$cores,""" +
         s""""pagerank8_sec":${f"$prSec%.2f"},"pagerank_edge_traversals_per_sec":${(e * 8 / prSec).toLong},""" +
-        s""""triangles_sec":${f"$triSec%.2f"},"bfs3_sec":${f"$bfsSec%.2f"},""" +
-        s""""pagerank_rows":$prRows,"triangle_rows":$triRows,"bfs_rows":$bfsRows}""")
+        s""""triangles_sec":${f"$triSec%.2f"},"bfs3_sec":${f"$bfsSec%.2f"},"labelprop3_sec":${f"$lpSec%.2f"},""" +
+        s""""pagerank_rows":$prRows,"triangle_rows":$triRows,"bfs_rows":$bfsRows,"labelprop_rows":$lpRows}""")
     spark.stop()
   }
 }
