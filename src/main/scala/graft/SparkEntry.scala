@@ -1448,6 +1448,38 @@ object SparkEntry {
         .select("source", "doc_id", "n_chars", "slot", "fetch_offset_s")
     }),
 
+    // ---- branch-vs-main audit: what did the dev branch change,
+    //      per day, WITHOUT reading data — Refs (zero-copy fork) and
+    //      ReplicaDiff (order-free XOR digests) composed: the branch
+    //      appends odd rows for the first 15 days only, so those days
+    //      read 'diverged' and the rest 'match' ----
+    "q175_branch_diff" -> ((s, dir) => {
+      val base = "/tmp/graft_q175"
+      graft.snapshot.SnapshotStore.deleteRecursively(base)
+      val root = s"$base/src"
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 0), tsCol = Some("ts"))
+      val dev = graft.snapshot.Refs.branch(root, "dev", 1L)
+      graft.snapshot.SnapshotStore.append(
+        dev,
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .filter(date_trunc("day", col("ts")) < to_timestamp(lit("2024-01-16"))),
+        tsCol = Some("ts")
+      )
+      val m = graft.snapshot.SnapshotStore.read(s, root).withColumn("day", date_trunc("day", col("ts")))
+      val d = graft.snapshot.SnapshotStore.read(s, dev).withColumn("day", date_trunc("day", col("ts")))
+      graft.snapshot.ReplicaDiff
+        .diff(m, d, Seq("day"), Seq("event_id", "user_id", "event_type"))
+        .select("day", "digest_a", "n_a", "digest_b", "n_b", "status")
+    }),
+
+    // ---- tokenizer vocabulary coverage: per-doc OOV rate against the
+    //      exact (count DESC, token ASC) top-500 corpus vocab — the
+    //      vocab-size sweep / tokenizer-shred diagnostic ----
+    "q176_vocab_coverage" -> ((s, dir) => {
+      graft.text.Vocab.oovRate(t(s, dir, "documents"), "doc_id", "text", vocabSize = 500)
+    }),
+
     // ---- personalized PageRank (topic-sensitive, Haveliwala 2002):
     //      teleport mass returns ONLY to the doc_id%97 seed hosts, so
     //      rank measures endorsement reachable FROM the seeds — same
@@ -4574,6 +4606,42 @@ object SparkEntry {
          SELECT source, doc_id, n_chars, CAST(slot AS BIGINT) AS slot,
                 CAST(slot * delay AS BIGINT) AS fetch_offset_s
          FROM u""",
+    // Branch-diff replay: main = even rows; dev = even rows plus odd
+    // rows of the first 15 days; identical digests and status casing.
+    "q175_branch_diff" ->
+      """WITH base AS (SELECT *, date_trunc('day', ts) AS day FROM events),
+         a AS (SELECT day,
+                bit_xor(CAST(('0x' || substr(md5(
+                  CAST(event_id AS VARCHAR) || chr(1) || CAST(user_id AS VARCHAR) || chr(1) || event_type
+                ), 1, 15)) AS BIGINT)) AS digest_a,
+                count(*) AS n_a
+              FROM base WHERE event_id % 2 = 0 GROUP BY 1),
+         b AS (SELECT day,
+                bit_xor(CAST(('0x' || substr(md5(
+                  CAST(event_id AS VARCHAR) || chr(1) || CAST(user_id AS VARCHAR) || chr(1) || event_type
+                ), 1, 15)) AS BIGINT)) AS digest_b,
+                count(*) AS n_b
+              FROM base
+              WHERE event_id % 2 = 0 OR (event_id % 2 = 1 AND day < TIMESTAMP '2024-01-16 00:00:00')
+              GROUP BY 1)
+         SELECT COALESCE(a.day, b.day) AS day, digest_a, n_a, digest_b, n_b,
+                CASE WHEN digest_a IS NULL THEN 'missing_in_a'
+                     WHEN digest_b IS NULL THEN 'missing_in_b'
+                     WHEN digest_a = digest_b AND n_a = n_b THEN 'match'
+                     ELSE 'diverged' END AS status
+         FROM a FULL OUTER JOIN b ON a.day = b.day""",
+    // Vocab replay: identical token split, identical (count DESC,
+    // token ASC) top-500 set, identical integer OOV counts.
+    "q176_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         vf AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         vocab AS (SELECT token FROM vf ORDER BY c DESC, token ASC LIMIT 500),
+         j AS (SELECT t.doc_id, (v.token IS NOT NULL) AS known
+               FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+                CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS oov_rate
+         FROM j GROUP BY 1""",
     // Personalized-PageRank replay: q155's recurrence with the
     // seed-restricted base vector, unrolled.
     "q162_personalized_pagerank" ->

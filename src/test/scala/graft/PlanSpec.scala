@@ -118,9 +118,9 @@ class PlanSpec extends SparkSpec {
       "q146_retention_archive",
       // construction writes/vacuums/stages/rolls back a snapshot store
       "q147_vacuum", "q148_wap_publish", "q149_rollback",
-      // construction forks/tags/appends snapshot stores (q166) and
-      // runs two incremental join-view updates (q167)
-      "q166_branch_refs", "q167_join_view"
+      // construction forks/tags/appends snapshot stores (q166, q175)
+      // and runs two incremental join-view updates (q167)
+      "q166_branch_refs", "q167_join_view", "q175_branch_diff"
     )
     // broadcast-model or tiny-side joins where a nested-loop is the
     // right plan: brute-force/centroid crosses (exactness baselines),
