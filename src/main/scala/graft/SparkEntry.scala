@@ -1480,6 +1480,29 @@ object SparkEntry {
       graft.text.Vocab.oovRate(t(s, dir, "documents"), "doc_id", "text", vocabSize = 500)
     }),
 
+    // ---- change-data-feed (Iceberg changelog / Delta CDF): the
+    //      labeled row-level stream a downstream consumer tails —
+    //      inserts from data snapshots, delete tombstones (key-only,
+    //      q144's merge-on-read) from delete snapshots, each tagged
+    //      with its snapshot id so replay reconstructs the table ----
+    "q177_changelog" -> ((s, dir) => {
+      val root = "/tmp/graft_q177/src"
+      graft.snapshot.SnapshotStore.deleteRecursively("/tmp/graft_q177")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "event_type")
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      graft.snapshot.SnapshotStore.appendDeletes(root, ev.filter(pmod(col("event_id"), lit(4)) === 0).select("event_id"))
+      graft.snapshot.SnapshotStore.append(root, ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      graft.snapshot.Changelog
+        .changes(s, root, 0L, 3L)
+        .select(
+          col("_snapshot_id").as("snapshot_id"),
+          col("_change_type").as("change_type"),
+          col("event_id"),
+          col("user_id"),
+          col("event_type")
+        )
+    }),
+
     // ---- personalized PageRank (topic-sensitive, Haveliwala 2002):
     //      teleport mass returns ONLY to the doc_id%97 seed hosts, so
     //      rank measures endorsement reachable FROM the seeds — same
@@ -4642,6 +4665,19 @@ object SparkEntry {
                 CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
                 CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS oov_rate
          FROM j GROUP BY 1""",
+    // Changelog replay: snapshot 1 inserts evens, snapshot 2 deletes
+    // the %4 keys (key-only tombstones, nulls elsewhere), snapshot 3
+    // inserts odds.
+    "q177_changelog" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot_id, 'insert' AS change_type,
+                event_id, user_id, event_type
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'delete', event_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+         FROM events WHERE event_id % 4 = 0
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'insert', event_id, user_id, event_type
+         FROM events WHERE event_id % 2 = 1""",
     // Personalized-PageRank replay: q155's recurrence with the
     // seed-restricted base vector, unrolled.
     "q162_personalized_pagerank" ->

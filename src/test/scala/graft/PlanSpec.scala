@@ -120,7 +120,9 @@ class PlanSpec extends SparkSpec {
       "q147_vacuum", "q148_wap_publish", "q149_rollback",
       // construction forks/tags/appends snapshot stores (q166, q175)
       // and runs two incremental join-view updates (q167)
-      "q166_branch_refs", "q167_join_view", "q175_branch_diff"
+      "q166_branch_refs", "q167_join_view", "q175_branch_diff",
+      // construction appends data + delete snapshots (q177)
+      "q177_changelog"
     )
     // broadcast-model or tiny-side joins where a nested-loop is the
     // right plan: brute-force/centroid crosses (exactness baselines),
