@@ -1503,6 +1503,26 @@ object SparkEntry {
         )
     }),
 
+    // ---- redirect-chain resolution by pointer doubling: 301-chain
+    //      canonicalization where reach SQUARES per round (3 rounds =
+    //      8 hops) — chains toward the next %10==9 sink run up to 9
+    //      hops, so digit-0 sources stay UNRESOLVED at 3 rounds and
+    //      everything else lands on its sink ----
+    "q178_redirect_resolve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val redirects = docs
+        .filter(pmod(col("doc_id"), lit(10)) =!= 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      graft.graph.Pointers.resolveChains(redirects, "src", "dst", rounds = 3)
+    }),
+
+    // ---- behavioral transition matrix: first-order Markov counts of
+    //      per-user event-type sequences — P(next|current) for funnel
+    //      design and transition-drift alerts ----
+    "q179_transition_matrix" -> ((s, dir) => {
+      graft.operators.Transitions.matrix(t(s, dir, "events"), Seq("user_id"), "ts", "event_id", "event_type")
+    }),
+
     // ---- personalized PageRank (topic-sensitive, Haveliwala 2002):
     //      teleport mass returns ONLY to the doc_id%97 seed hosts, so
     //      rank measures endorsement reachable FROM the seeds — same
@@ -4678,6 +4698,26 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(3 AS BIGINT), 'insert', event_id, user_id, event_type
          FROM events WHERE event_id % 2 = 1""",
+    // Pointer-doubling replay: three unrolled t' = t(t(x)) rounds,
+    // then the resolved test = "final target is not a redirect src".
+    "q178_redirect_resolve" ->
+      """WITH r0 AS (SELECT doc_id AS src, doc_id + 1 AS nxt FROM documents WHERE doc_id % 10 <> 9),
+         r1 AS (SELECT a.src, COALESCE(b.nxt, a.nxt) AS nxt FROM r0 a LEFT JOIN r0 b ON a.nxt = b.src),
+         r2 AS (SELECT a.src, COALESCE(b.nxt, a.nxt) AS nxt FROM r1 a LEFT JOIN r1 b ON a.nxt = b.src),
+         r3 AS (SELECT a.src, COALESCE(b.nxt, a.nxt) AS nxt FROM r2 a LEFT JOIN r2 b ON a.nxt = b.src)
+         SELECT a.src, a.nxt AS final_dst, (b.src IS NULL) AS resolved
+         FROM r3 a LEFT JOIN (SELECT DISTINCT src FROM r0) b ON a.nxt = b.src""",
+    // Transition replay: identical (ts, event_id) lag pairing, exact
+    // integer counts, one float normalization per from_state.
+    "q179_transition_matrix" ->
+      """WITH s AS (SELECT event_type AS to_state,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_state
+              FROM events),
+         c AS (SELECT from_state, to_state, count(*) AS n FROM s
+               WHERE from_state IS NOT NULL GROUP BY 1, 2)
+         SELECT from_state, to_state, n,
+                CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE) AS prob
+         FROM c""",
     // Personalized-PageRank replay: q155's recurrence with the
     // seed-restricted base vector, unrolled.
     "q162_personalized_pagerank" ->
