@@ -1523,6 +1523,15 @@ object SparkEntry {
       graft.operators.Transitions.matrix(t(s, dir, "events"), Seq("user_id"), "ts", "event_id", "event_type")
     }),
 
+    // ---- asymmetric shingle containment (Broder): the quote /
+    //      wrapper near-dup Jaccard misses — a short doc fully inside
+    //      a long one has tiny Jaccard but near-total containment;
+    //      ordered pairs, exact integer overlap/sizes ----
+    "q180_containment" -> ((s, dir) => {
+      graft.dedup.Dedup
+        .containmentPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+    }),
+
     // ---- personalized PageRank (topic-sensitive, Haveliwala 2002):
     //      teleport mass returns ONLY to the doc_id%97 seed hosts, so
     //      rank measures endorsement reachable FROM the seeds — same
@@ -4698,6 +4707,21 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(3 AS BIGINT), 'insert', event_id, user_id, event_type
          FROM events WHERE event_id % 2 = 1""",
+    // Containment replay: q14's shingle construction, ordered pairs,
+    // overlap normalized by the CONTAINED side's set size.
+    "q180_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+                   WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+                   FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, overlap, sa.sz AS size_a, sb.sz AS size_b,
+                CAST(overlap AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(overlap AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.8""",
     // Pointer-doubling replay: three unrolled t' = t(t(x)) rounds,
     // then the resolved test = "final target is not a redirect src".
     "q178_redirect_resolve" ->

@@ -116,6 +116,66 @@ object Dedup {
       .select("id_a", "id_b", "overlap", "union_size")
   }
 
+  /** ASYMMETRIC shingle containment `C(A→B) = |S(A)∩S(B)| / |S(A)|` —
+    * the near-dup relation Jaccard misses by construction: a short
+    * document fully quoted inside a long one (press release inside an
+    * article, answer inside a scrape of the whole thread, page inside
+    * its boilerplate wrapper) has near-total containment but tiny
+    * Jaccard, because the union is dominated by the long side. The
+    * standard asymmetric-dedup primitive (Broder's containment, the
+    * basis of "quote detection" passes in webtext pipelines).
+    *
+    * Emits ORDERED pairs (id_a contained in id_b) with exact integer
+    * overlap / set sizes; `containment` is their one float division.
+    * Same hot-shingle DF-cap contract as [[ngramJaccardPairs]] — the
+    * pair join is quadratic in shingle document frequency, so
+    * at-scale callers must set `maxShingleDf`.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Long = Long.MaxValue
+  ): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, n)
+    val sh =
+      if (maxShingleDf == Long.MaxValue) sh0
+      else {
+        val hot = sh0
+          .groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select("shingle")
+          .cache()
+        val nHot = hot.count()
+        if (nHot == 0) { hot.unpersist(); sh0 }
+        else {
+          org.slf4j.LoggerFactory
+            .getLogger(getClass)
+            .warn(
+              s"containmentPairs: dropping $nHot shingle(s) with document frequency > $maxShingleDf " +
+                "before the pair join (hot-shingle scale guard)"
+            )
+          sh0.join(hot, Seq("shingle"), "left_anti")
+        }
+      }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val inter = sh
+      .withColumnRenamed("id", "id_a")
+      .join(sh.withColumnRenamed("id", "id_b"), Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("overlap"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("containment", col("overlap").cast("double") / col("size_a"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "overlap", "size_a", "size_b", "containment")
+  }
+
   /** Prime modulus of the affine minhash family. */
   val MinHashP: Long = 1000000007L
 

@@ -182,6 +182,25 @@ class SimilaritySpec extends SparkSpec {
     inc.unpersist(); batch.unpersist(); idx.foreach(_.unpersist())
   }
 
+  test("containment: a quoted short doc scores ~1 into its wrapper while Jaccard misses it") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val wrapper = ("header one two three four five six seven eight nine ten " +
+      quote + " footer eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    val docs = Seq((1L, quote), (2L, wrapper), (3L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val cont = Dedup
+      .containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 }, cont) // fully contained
+    assert(!cont.exists { case (a, b, _) => a == 2L && b == 1L }, cont) // wrapper NOT contained in quote
+    // the same pair is invisible to symmetric Jaccard at any useful threshold
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(jac.filter("id_a = 1 AND id_b = 2").isEmpty)
+  }
+
   test("MinHash-LSH at est>=0.5 finds exactly the true jaccard>=0.5 pairs on this corpus") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val exact = Dedup
