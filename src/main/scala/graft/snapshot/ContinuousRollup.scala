@@ -114,18 +114,23 @@ object ContinuousRollup {
     * raw plus a handful of tiny tier partitions — not 30 days of raw.
     * Without day manifests it falls back to the full-range scan.
     *
-    * NOTE (prepare contract, schema): on the pruned branch the scan
-    * carries one extra synthetic column, `__graft_stored_day` (the
-    * partition day the row's file was stored under), injected for the
-    * exact guard below. A schema-agnostic prepare (column-wise maps,
-    * filters, withColumn) passes it through unchanged and gets the
-    * exact guard for free; a prepare that projects to a fixed schema
-    * drops it and gets the weaker membership guard. A prepare that
-    * iterates `df.columns` (melts, position-based unions) MUST either
-    * ignore columns prefixed `__graft_` or project them away first —
-    * the batch-side scan (`readRange`) and the unpruned branch do not
-    * carry the column, so schema-sensitive logic would otherwise see
-    * different shapes across the prepare invocations of one update.
+    * NOTE (prepare contract, schema): EVERY `prepare` invocation of an
+    * update — the batch-side scan, the pruned branch, the unpruned
+    * branch, and the suspect-dir probe — receives the same one extra
+    * synthetic column, `__graft_stored_day: string`. On the pruned
+    * branch it carries the partition day the row's file was stored
+    * under (feeding the exact guard below); on the other invocations
+    * its value is the empty string (stored day unknown/untrusted
+    * there, and the guard never reads it). Because the column is part
+    * of the prepare input schema everywhere, a schema-sensitive
+    * prepare (iterating `df.columns`, melting, positional unions)
+    * sees ONE shape across all invocations of one update — it may
+    * treat `__graft_stored_day` like any other column. A
+    * schema-agnostic prepare (column-wise maps, filters, withColumn)
+    * passes it through unchanged and gets the exact guard for free; a
+    * prepare that projects to a fixed schema drops it and gets the
+    * weaker membership guard. The column is dropped again before any
+    * tier aggregation, so it never reaches tier outputs.
     *
     * The `prepare` contract is enforced at runtime on the pruned
     * branch: any row stored under a real (non-suspect) `part_day`
@@ -169,12 +174,18 @@ object ContinuousRollup {
       return to
     }
 
+    val StoredDayCol = "__graft_stored_day"
+    val dayRe = "part_day=([0-9]{4}-[0-9]{2}-[0-9]{2})"
+
     // one tiny job over the prepared batch (its only consumer — no
     // cache): the days its points land on (post-repair) and the 30d
     // windows they touch. Days decide both the pruned raw read and the
     // 1m/1h/1d recomputes; windows decide which 30d partitions re-roll
-    // up from the 1d tier.
-    val newRows = prepare(SnapshotStore.readRange(spark, sourceRoot, from, to))
+    // up from the 1d tier. The synthetic stored-day column is attached
+    // as "" (value unused here) so prepare sees the same schema as on
+    // the tier-feeding scans below.
+    val newRows =
+      prepare(SnapshotStore.readRange(spark, sourceRoot, from, to).withColumn(StoredDayCol, lit("")))
     val touchedKeys = newRows
       .select(
         to_date(col(tsCol)).as("d"),
@@ -195,8 +206,6 @@ object ContinuousRollup {
     val windowSpanDays: Seq[java.time.LocalDate] =
       windows.toSeq.flatMap(w => (0 until 30).map(i => w.plusDays(i.toLong))).distinct.sorted
 
-    val StoredDayCol = "__graft_stored_day"
-    val dayRe = "part_day=([0-9]{4}-[0-9]{2}-[0-9]{2})"
     val canPrune = SnapshotStore.hasDayInfo(sourceRoot, 0L, to)
 
     // Why suspect-row landing days need no special recompute handling:
@@ -216,7 +225,7 @@ object ContinuousRollup {
     val (prepared, readDirs, dirsTotal) =
       if (!canPrune) {
         val dirs = SnapshotStore.resolveDirs(sourceRoot, 0L, to)
-        (prepare(spark.read.parquet(dirs: _*)), dirs, dirs.size)
+        (prepare(spark.read.parquet(dirs: _*).withColumn(StoredDayCol, lit(""))), dirs, dirs.size)
       } else {
         val dirs = SnapshotStore.resolveDirs(sourceRoot, 0L, to, Some(neededDays), suspectDay)
         val total = SnapshotStore.resolveDirs(sourceRoot, 0L, to)
@@ -273,7 +282,7 @@ object ContinuousRollup {
         val landedDays: Set[String] =
           if (suspectDirs.isEmpty) Set.empty
           else
-            prepare(spark.read.parquet(suspectDirs: _*))
+            prepare(spark.read.parquet(suspectDirs: _*).withColumn(StoredDayCol, lit("")))
               .select(dayStr.as("d"))
               .filter(col("d").isNotNull)
               .distinct()
@@ -311,7 +320,9 @@ object ContinuousRollup {
           "for rows stored under suspect days (see `suspectDay`), or maintain those repairs externally."
       )
     }
-    val tierRows = if (exactGuard) allRows.drop(StoredDayCol) else allRows
+    // the synthetic column (whichever branch attached it, if prepare
+    // passed it through) never reaches a tier aggregation
+    val tierRows = allRows.drop(StoredDayCol)
 
     // cascade state: the still-cached recomputed output of the
     // previous (finer) tier. 1h and 1d re-rollup from it IN MEMORY —

@@ -298,6 +298,48 @@ class SnapshotSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("schema-sensitive prepare sees ONE schema across batch, pruned, and unpruned invocations") {
+    // melt-style prepare: rebuilds the frame by iterating df.columns
+    // and bakes the column COUNT into the measure — any schema fork
+    // between the prepare invocations of one update (batch-side scan,
+    // pruned scan, unpruned scan) would change tier sums. It also
+    // records every input schema it sees.
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    val sensitive: DataFrame => DataFrame = { df =>
+      seen.synchronized { seen += df.columns.toSeq }
+      df.select(df.columns.map(col): _*).withColumn("value", lit(df.columns.length.toDouble))
+    }
+    val measure = col("value").cast("long")
+
+    // pruned path: day-partitioned source
+    val rootP = tmpDir("snap_schema_p")
+    val tiersP = tmpDir("snap_schema_p_tiers")
+    SnapshotStore.append(rootP, events, tsCol = Some("ts"))
+    ContinuousRollup.update(spark, rootP, tiersP, Seq("event_type"), "ts", measure, prepare = sensitive)
+
+    // unpruned path: flat source (no day manifests)
+    val rootU = tmpDir("snap_schema_u")
+    val tiersU = tmpDir("snap_schema_u_tiers")
+    SnapshotStore.append(rootU, events)
+    ContinuousRollup.update(spark, rootU, tiersU, Seq("event_type"), "ts", measure, prepare = sensitive)
+
+    // every invocation, both updates, saw the identical column set
+    assert(seen.nonEmpty && seen.distinct.size == 1, s"schemas diverged: ${seen.distinct}")
+    assert(seen.head.contains("__graft_stored_day"))
+
+    // identical tier results across branches, and equal to a one-shot
+    // with the same column count (data cols + the one synthetic col)
+    val ncols = events.columns.length + 1
+    for (t <- Seq("1m", "1h", "1d", "30d")) {
+      val gotP = ContinuousRollup.readTier(spark, tiersP, t)
+      val gotU = ContinuousRollup.readTier(spark, tiersU, t)
+      assert(gotP.except(gotU).isEmpty && gotU.except(gotP).isEmpty, s"tier $t pruned/unpruned fork")
+      val want =
+        Rollup.fromRaw(events.withColumn("value", lit(ncols.toDouble)), Seq("event_type"), "ts", t, measure)
+      assert(gotP.except(want).isEmpty && want.except(gotP).isEmpty, s"tier $t mismatch vs one-shot")
+    }
+  }
+
   test("compaction consolidates day files, preserves rows, and later diffs keep working") {
     val root = tmpDir("snap_compact")
     val tiers = tmpDir("snap_compact_tiers")
