@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -21,10 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * eval, re-evaluating the child per plane). There is no plane
   * literal at all — nothing mega-sized rides the task binary.
   *
-  * Width contract: every row must carry exactly `dim` elements and no
-  * null elements — anything else raises (a silently nulled projection
-  * would drop every such row into bucket 0 of every table: an O(n²)
-  * join hazard).
+  * Width contract: every row must carry exactly `dim` NON-NULL
+  * elements, and the embedding itself must be non-null — anything
+  * else raises, including a top-level NULL (no null-propagation: a
+  * silently nulled projection turns every downstream sign bit into
+  * the `otherwise(0)` arm and drops the row into bucket 0 of every
+  * table — an O(n²) hot-bucket join hazard on null-heavy corpora).
+  * Callers that tolerate null embeddings filter them out first (see
+  * `Ann.bucketRelation`: null rows can never be reranked anyway).
   */
 case class LshProjections(child: Expression, nPlanes: Int, dim: Int)
     extends UnaryExpression
@@ -36,10 +42,28 @@ case class LshProjections(child: Expression, nPlanes: Int, dim: Int)
 
   override def prettyName: String = "graft_lsh_projections"
 
+  override def nullable: Boolean = false
+
+  // never constant-fold: this expression RAISES on null/ragged input,
+  // and ConstantFolding would evaluate it at plan time over literal
+  // branches (e.g. a union arm carrying lit(null)) whose rows a
+  // runtime filter legitimately removes before projection
+  override def foldable: Boolean = false
+
   private def fail(n: Int): Nothing =
     throw new IllegalArgumentException(
       s"LSH planes are sized for uniform dim $dim without null elements, got $n elements"
     )
+
+  private val nullMsg =
+    "LSH projection of a NULL embedding: a null-propagated projection would land in bucket 0 of " +
+      "every table (silent O(n^2) hot bucket) — filter null embeddings out before bucketing"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) throw new IllegalArgumentException(nullMsg)
+    nullSafeEval(v)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -68,11 +92,15 @@ case class LshProjections(child: Expression, nPlanes: Int, dim: Int)
     new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(
-      ctx,
-      ev,
-      a => s"""
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val a = c.value
+    val compute = s"""
+        |if (${c.isNull}) {
+        |  throw new IllegalArgumentException(
+        |    "LSH projection of a NULL embedding: a null-propagated projection would land in bucket 0 of " +
+        |    "every table (silent O(n^2) hot bucket) - filter null embeddings out before bucketing");
+        |}
         |int ${ev.value}_n = $a.numElements();
         |if (${ev.value}_n != $dim) {
         |  throw new IllegalArgumentException(
@@ -97,7 +125,15 @@ case class LshProjections(child: Expression, nPlanes: Int, dim: Int)
         |}
         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_out);
       """.stripMargin
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        $compute
+      """,
+      isNull = FalseLiteral
     )
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

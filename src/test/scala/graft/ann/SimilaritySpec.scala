@@ -58,6 +58,24 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("LshProjections itself raises on a NULL embedding — loud, never silent bucket 0") {
+    // direct expression use (outside bucketRelation's null filter):
+    // both the codegen and the interpreted eval path must refuse to
+    // null-propagate into an all-zero sign vector
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val nulled = emb.withColumn(
+      "embedding",
+      when(col("id") === 0L, lit(null)).otherwise(col("embedding"))
+    )
+    val proj = graft.functions.LshProjections(col("embedding"), nPlanes = 4, dim = dim)
+    val e = intercept[Throwable](nulled.select(proj.as("p")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL embedding")), s"wrong failure: $e")
+    // non-null rows still project fine
+    assert(nulled.filter(col("id") =!= 0L).select(proj.as("p")).count() > 0)
+  }
+
   test("hot-shingle DF cap stops the quadratic boilerplate explosion, keeps real pairs") {
     import spark.implicits._
     // 1000 docs sharing ONE boilerplate 3-gram (each with a unique
