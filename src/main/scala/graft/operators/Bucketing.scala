@@ -30,7 +30,11 @@ object Bucketing {
     * the files — a plain parquet read of `path` won't co-locate).
     */
   def writeBucketed(df: DataFrame, name: String, path: String, keyCol: String, buckets: Int): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $name")
+    // the name is interpolated into raw SQL — identifier-validate it
+    // (same pattern as Refs ref names) so a crafted name can neither
+    // break the statement nor smuggle extra SQL
+    require(name.matches("[A-Za-z0-9_]+"), s"table name must be [A-Za-z0-9_]+, got '$name'")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$name`")
     df
       // repartition on the SAME hash the bucketer uses so each write
       // task owns exactly one bucket -> ONE file per bucket, which is

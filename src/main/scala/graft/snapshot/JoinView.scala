@@ -24,17 +24,25 @@ import org.apache.spark.sql.functions._
   * table per batch and joining just the batch.
   *
   * Exactly-once: the applied (aId, bId) watermark pair is encoded into
-  * the view append's `streamBatchId` (aId * 2^20 + bId — monotone
+  * the view append's `streamBatchId` (aId * 2^31 + bId — monotone
   * because source snapshot ids only grow), so a crash-retry of the
   * same update is a no-op, the same idempotence contract as
-  * [[graft.streaming.SnapshotSink]].
+  * [[graft.streaming.SnapshotSink]]. Lifetime cap of the encoding:
+  * each source may accumulate at most 2^31 (~2.1 billion) snapshots
+  * over the VIEW'S LIFE — beyond minutely micro-batches for four
+  * millennia; `mark` fails loudly (never wraps) if a store ever gets
+  * there.
   */
 object JoinView {
 
-  private val Shift = 1L << 20
+  private val Shift = 1L << 31
 
   private def mark(aId: Long, bId: Long): Long = {
-    require(bId < Shift, s"source B snapshot id $bId exceeds the $Shift watermark encoding")
+    require(
+      bId < Shift && aId < Shift,
+      s"source snapshot ids ($aId, $bId) exceed the 2^31 watermark encoding — " +
+        "this view has outlived its id budget; rebuild it against a compacted store"
+    )
     aId * Shift + bId
   }
 

@@ -64,18 +64,22 @@ object Refs {
 
   def tags(root: String): Seq[(String, Long)] =
     if (!Files.exists(refsDir(root))) Seq.empty
-    else
-      Files
-        .list(refsDir(root))
-        .iterator()
-        .asScala
-        .filter(_.getFileName.toString.endsWith(".json"))
-        .map { p =>
-          val n = mapper.readTree(Files.readAllBytes(p))
-          n.get("name").asText() -> n.get("snapshotId").asLong()
-        }
-        .toSeq
-        .sortBy(_._1)
+    else {
+      // materialize inside try/finally — Files.list leaks a directory
+      // fd until closed (same convention as Wap.stages / Retention)
+      val s = Files.list(refsDir(root))
+      try
+        s.iterator()
+          .asScala
+          .filter(_.getFileName.toString.endsWith(".json"))
+          .map { p =>
+            val n = mapper.readTree(Files.readAllBytes(p))
+            n.get("name").asText() -> n.get("snapshotId").asLong()
+          }
+          .toSeq
+          .sortBy(_._1)
+      finally s.close()
+    }
 
   /** Read the table as of tag `name` — time travel by name. */
   def readTag(spark: SparkSession, root: String, name: String): DataFrame =
@@ -119,23 +123,75 @@ object Refs {
       .get("baseId")
       .asLong()
 
+  /** `fastForwardedFrom` field of main's manifest `id`, if any. */
+  private def ffFrom(root: String, id: Long): Option[String] =
+    Option(SnapshotStore.manifest(root, id).get("fastForwardedFrom")).map(_.asText())
+
   /** Fast-forward main to branch `name`'s head. Requires main's head
-    * to still be the fork base (no divergence). Returns the published
-    * main ids. Crash-safe in the WAP shape: manifest CAS first (a
-    * manifest whose CURRENT never advanced is invisible), then the
-    * data-dir move, then CURRENT.
+    * to still be the fork base (no divergence). Returns the main ids
+    * published BY THIS CALL (including any resumed half-commit).
+    * Crash-safe in the WAP shape: manifest CAS first (a manifest whose
+    * CURRENT never advanced is invisible to readers), then the
+    * data-dir move, then CURRENT — and RESUMABLE: on entry, a
+    * committed v(head+1).json carrying `fastForwardedFrom == name` is
+    * a crashed publish of this same branch, so the call finishes its
+    * data-dir move and CURRENT advance (both idempotent) before
+    * continuing with the remaining snapshots. Main heads BETWEEN the
+    * fork base and the branch head are accepted iff every intervening
+    * manifest was fast-forwarded from this branch (an earlier crash
+    * mid-multi-snapshot publish); anything else is divergence and
+    * fails loudly.
     */
   def fastForward(root: String, name: String): Seq[Long] = {
     val bRoot = branchRoot(root, name)
     val base = branchBase(root, name)
     val bHead = SnapshotStore.currentSnapshotId(bRoot)
-    val mHead = SnapshotStore.currentSnapshotId(root)
+    var mHead = SnapshotStore.currentSnapshotId(root)
     require(
-      mHead == base,
-      s"fast-forward '$name': main advanced to $mHead since the fork at $base — " +
+      mHead >= base && mHead <= bHead &&
+        ((base + 1) to mHead).forall(id => ffFrom(root, id).contains(name)),
+      s"fast-forward '$name': main advanced to $mHead since the fork at $base by other writers — " +
         "histories diverged; rebase the branch (re-fork and re-apply) instead"
     )
-    ((base + 1) to bHead).map { id =>
+
+    // finish one publish (idempotent): data-dir move if still pending,
+    // branch-manifest repoint (so the branch stays readable as a pure
+    // alias of main), then CURRENT
+    def finish(id: Long, bm: ObjectNode): Long = {
+      val src = Paths.get(s"$bRoot/data/s$id")
+      val dst = Paths.get(s"$root/data/s$id")
+      if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      require(
+        Files.exists(dst),
+        s"fast-forward '$name': snapshot $id's data dir is at neither $src nor $dst"
+      )
+      SnapshotStore.atomicWrite(
+        SnapshotStore.snapDir(bRoot).resolve(s"v$id.json"),
+        mapper.writeValueAsString(bm)
+      )
+      SnapshotStore.atomicWrite(SnapshotStore.snapDir(root).resolve("CURRENT"), id.toString)
+      id
+    }
+
+    // resume a half-commit: main's next manifest exists but CURRENT
+    // never advanced (crash between the CAS and the move/advance)
+    val resumed: Seq[Long] = {
+      val pendingId = mHead + 1
+      val pending = SnapshotStore.snapDir(root).resolve(s"v$pendingId.json")
+      if (pendingId <= bHead && Files.exists(pending)) {
+        val pm = mapper.readTree(Files.readAllBytes(pending)).deepCopy[ObjectNode]()
+        require(
+          Option(pm.get("fastForwardedFrom")).exists(_.asText() == name),
+          s"fast-forward '$name': found a pending main manifest v$pendingId.json not published by " +
+            "this branch — another writer's half-commit; resolve it before publishing"
+        )
+        finish(pendingId, pm)
+        mHead = pendingId
+        Seq(pendingId)
+      } else Seq.empty
+    }
+
+    resumed ++ ((mHead + 1) to bHead).map { id =>
       val bm = SnapshotStore.manifest(bRoot, id).deepCopy[ObjectNode]()
       val finalDir = s"$root/data/s$id"
       val branchDirs = bm.get("dataDirs").elements().asScala.map(_.asText()).toSeq
@@ -151,19 +207,7 @@ object Refs {
         mapper.writeValueAsString(bm),
         replace = false
       )
-      Files.move(
-        Paths.get(s"$bRoot/data/s$id"),
-        Paths.get(finalDir),
-        StandardCopyOption.ATOMIC_MOVE
-      )
-      // repoint the branch manifest at the moved dir so the branch
-      // stays readable after publish (it is now a pure alias of main)
-      SnapshotStore.atomicWrite(
-        SnapshotStore.snapDir(bRoot).resolve(s"v$id.json"),
-        mapper.writeValueAsString(bm)
-      )
-      SnapshotStore.atomicWrite(SnapshotStore.snapDir(root).resolve("CURRENT"), id.toString)
-      id
+      finish(id, bm)
     }
   }
 }

@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
 object Politeness {
 
   /** @param priority higher fetches first; ties break on `tieBreak` asc
-    * @param delaySec per-row host crawl delay (seconds)
+    * @param delaySec per-row host crawl delay (seconds). The schedule
+    *        uses the MAX of `delaySec` over each host's rows: if rows
+    *        of one host disagree (e.g. robots re-fetched mid-frontier),
+    *        per-row delays could interleave slot offsets (slot 2 of a
+    *        1 s row fires at 2 s inside slot 1 of a 5 s row's window)
+    *        and silently break the per-host rate cap — the max is the
+    *        only per-row-derivable spacing that honors every row's cap.
     * @return input plus (slot, fetch_offset_s): slot = per-host fetch
-    *         index (0-based), offset = slot * delay
+    *         index (0-based), offset = slot * max-host-delay
     */
   def schedule(
       urls: DataFrame,
@@ -33,8 +39,10 @@ object Politeness {
       delaySec: Column
   ): DataFrame = {
     val w = Window.partitionBy(col(hostCol)).orderBy(priority.desc, col(tieBreak).asc)
+    // same partitioning as the ranking window -> one shuffle serves both
+    val hostDelay = max(delaySec.cast("long")).over(Window.partitionBy(col(hostCol)))
     urls
       .withColumn("slot", (row_number().over(w) - 1).cast("long"))
-      .withColumn("fetch_offset_s", col("slot") * delaySec.cast("long"))
+      .withColumn("fetch_offset_s", col("slot") * hostDelay)
   }
 }

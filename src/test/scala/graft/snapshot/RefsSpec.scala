@@ -53,6 +53,71 @@ class RefsSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, dev).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 10L, 11L))
   }
 
+  test("fastForward: resumes a crash between the manifest CAS and the data-dir move") {
+    val root = tmpDir("refs") + "/crash1"
+    SnapshotStore.append(root, rows(1))
+    val dev = Refs.branch(root, "dev", 1L)
+    SnapshotStore.append(dev, rows(10))
+    SnapshotStore.append(dev, rows(11))
+    // simulate the crash: replay ONLY the first publish's manifest CAS
+    // (main v2.json committed, data dir still under the branch, CURRENT
+    // never advanced)
+    val bm = SnapshotStore.manifest(dev, 2L).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    bm.putArray("dataDirs").add(s"$root/data/s2")
+    bm.put("fastForwardedFrom", "dev")
+    SnapshotStore.atomicWrite(
+      SnapshotStore.snapDir(root).resolve("v2.json"),
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(bm),
+      replace = false
+    )
+    assert(SnapshotStore.currentSnapshotId(root) == 1L) // crash state: invisible half-commit
+    // retry finishes the half-commit AND publishes the rest
+    assert(Refs.fastForward(root, "dev") == Seq(2L, 3L))
+    assert(SnapshotStore.currentSnapshotId(root) == 3L)
+    assert(SnapshotStore.read(spark, root).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 10L, 11L))
+    assert(SnapshotStore.read(spark, dev).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 10L, 11L))
+  }
+
+  test("fastForward: resumes a crash after the data-dir move but before CURRENT") {
+    val root = tmpDir("refs") + "/crash2"
+    SnapshotStore.append(root, rows(1))
+    val dev = Refs.branch(root, "dev", 1L)
+    SnapshotStore.append(dev, rows(10))
+    val bm = SnapshotStore.manifest(dev, 2L).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    bm.putArray("dataDirs").add(s"$root/data/s2")
+    bm.put("fastForwardedFrom", "dev")
+    SnapshotStore.atomicWrite(
+      SnapshotStore.snapDir(root).resolve("v2.json"),
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(bm),
+      replace = false
+    )
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/data"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dev/data/s2"),
+      java.nio.file.Paths.get(s"$root/data/s2"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE
+    )
+    assert(Refs.fastForward(root, "dev") == Seq(2L))
+    assert(SnapshotStore.currentSnapshotId(root) == 2L)
+    assert(SnapshotStore.read(spark, root).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 10L))
+    // idempotent: a second call publishes nothing further
+    assert(Refs.fastForward(root, "dev").isEmpty)
+  }
+
+  test("fastForward: a pending manifest from another writer fails loudly") {
+    val root = tmpDir("refs") + "/crash3"
+    SnapshotStore.append(root, rows(1))
+    val dev = Refs.branch(root, "dev", 1L)
+    SnapshotStore.append(dev, rows(10))
+    // a foreign half-commit occupies main's next manifest slot
+    Files.write(
+      SnapshotStore.snapDir(root).resolve("v2.json"),
+      "{\"snapshotId\":2,\"dataDirs\":[]}".getBytes
+    )
+    val e = intercept[IllegalArgumentException](Refs.fastForward(root, "dev"))
+    assert(e.getMessage.contains("half-commit"))
+  }
+
   test("fastForward: diverged main fails loudly") {
     val root = tmpDir("refs") + "/div"
     SnapshotStore.append(root, rows(1))
