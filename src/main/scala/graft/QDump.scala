@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * `runMain graft.QDump q62_meta_learner_cv` prints every row sorted;
   * `--ivf-centroids` prints the trained IVF quantizer as DuckDB VALUES
   * rows and `--pq-codebook` the flattened PQ codebook list — the per-SF
-  * model literals pinned in IvfGoldens (q63/q66/q69). Run once per SF
+  * model literals pinned in resources/graft/goldens (q63/q66/q69). Run once per SF
   * via SPARK_GRAFT_SF_DIR.
   */
 object QDump {

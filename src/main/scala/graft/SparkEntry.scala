@@ -3496,16 +3496,16 @@ object SparkEntry {
     },
     // Golden oracle for the flagship pages pipeline (see Q25Golden —
     // SF- and parallelism-independent end-to-end repair semantics).
-    "q25_pages_pipeline" -> Q25Golden.sql,
+    "q25_pages_pipeline" -> Goldens("q25_pages_pipeline"),
     // Golden oracles for the GBT decision paths (seeded, SF- and
     // parallelism-independent — see GbtGoldens): the meta-learner
     // decisions and the synth-lifecycle corrections as pinned tables.
-    "q45_meta_learner" -> GbtGoldens.q45,
-    "q62_meta_learner_cv" -> GbtGoldens.q62,
-    "q63_ann_ivf_kmeans" -> IvfGoldens.q63,
-    "q66_ann_pq" -> IvfGoldens.q66,
-    "q69_ann_ivf_pq" -> IvfGoldens.q69,
-    "q52_cleaning_synth" -> GbtGoldens.q52,
+    "q45_meta_learner" -> Goldens("q45_meta_learner"),
+    "q62_meta_learner_cv" -> Goldens("q62_meta_learner_cv"),
+    "q63_ann_ivf_kmeans" -> Goldens("q63_ann_ivf_kmeans"),
+    "q66_ann_pq" -> Goldens("q66_ann_pq"),
+    "q69_ann_ivf_pq" -> Goldens("q69_ann_ivf_pq"),
+    "q52_cleaning_synth" -> Goldens("q52_cleaning_synth"),
     // Repetition stats: bigram/trigram lists rebuilt with 1-based list
     // comprehension transforms; max bigram frequency via unnest+group
     // (the oracle may shuffle — only the engine side must not).
