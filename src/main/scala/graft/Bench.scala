@@ -99,6 +99,43 @@ object Bench {
     (tierPoints, blockRows, tiersSec, blocksSec)
   }
 
+  /** Same-window pure-codegen control: an allocation-free sha2 chain
+    * over range() — no input, no shuffle — measuring the CPU actually
+    * available in THIS wall-clock window. BASELINE.md documents an
+    * honest 82k–208k points/s swing across IDENTICAL code on this
+    * co-tenant box; dividing the headline by (control / reference)
+    * removes that window factor, so cross-round comparisons track the
+    * pipeline, not the neighbors. Returns rows/sec, best of `reps`.
+    */
+  def controlRowsPerSec(spark: SparkSession, rows: Long, reps: Int = 3): Double = {
+    def run(n: Long): Long =
+      spark
+        .range(n)
+        .select(
+          sha2(concat(lit("k"), col("id"), sha2(concat(col("id") * 7, lit("x")).cast("string"), 256)).cast("string"), 256)
+            .as("h")
+        )
+        .select(count(when(substring(col("h"), 1, 1) === "a", 1)).as("c"))
+        .head()
+        .getLong(0)
+    run(rows / 100) // warm codegen
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      run(rows)
+      rows / ((System.nanoTime() - t0) / 1e9)
+    }.max
+  }
+
+  /** Reference control throughput (rows/sec at local[32]) measured in
+    * a clean window on 2026-08-21 (34.7M / 34.2M over two fresh JVMs);
+    * `control_normalized_points_per_sec` = headline × ref / control.
+    * Defined for the driver protocol (local[32]) ONLY — at other core
+    * counts the control shifts with per-core memory bandwidth and the
+    * normalized figure is not cross-comparable (the raw control is
+    * still reported for the record).
+    */
+  val RefControlRowsPerSec: Double = 3.44e7
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -119,6 +156,9 @@ object Bench {
     val rollupSec = tiersSec + blocksSec
     val pointsPerSec = points / rollupSec
     val trialsJson = trials.map(t => f"${t._3 + t._4}%.2f").mkString("[", ",", "]")
+    // control rides the SAME window as the headline trials it normalizes
+    val control = controlRowsPerSec(spark, 60000000L)
+    val normalized = pointsPerSec * RefControlRowsPerSec / control
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -142,12 +182,16 @@ object Bench {
         try {
           val (tp10, br10, ts10, bs10) = rollupBench(spark, nPages * 10)
           val pps10 = (tp10 + br10) / (ts10 + bs10)
-          f""","scale10x":{"pages":${nPages * 10},"points":${tp10 + br10},"rollup_sec":${ts10 + bs10}%.2f,"points_per_sec":$pps10%.1f}"""
+          // the 10x stage runs minutes after the headline — its own
+          // in-window control keeps the row comparable too
+          val c10 = controlRowsPerSec(spark, 60000000L, reps = 2)
+          val n10 = pps10 * RefControlRowsPerSec / c10
+          f""","scale10x":{"pages":${nPages * 10},"points":${tp10 + br10},"rollup_sec":${ts10 + bs10}%.2f,"points_per_sec":$pps10%.1f,"control_rows_per_sec":$c10%.0f,"control_normalized_points_per_sec":$n10%.1f}"""
         } catch { case e: Throwable => System.err.println(s"[bench] 10x stage failed: ${e.getMessage}"); "" }
       } else ""
 
     println(
-      f"""{"metric":"rollup_points_per_sec_per_executor","value":$pointsPerSec%.1f,"unit":"points/sec","metric_def":"(tier points + block rows) / (repair+tiers sec + block-build sec), best of 3 trials pre-suite; formula unchanged since round 1, but measurement protocol differs from round 1 (single trial post-suite) — cross-round comparisons carry protocol variance","trials_sec":$trialsJson,"queries":$qs,"queries_total_sec":$total%.2f,"pages":$nPages,"rollup_points":$points,"rollup_sec":$rollupSec%.2f,"tier_points":$tierPoints,"tiers_sec":$tiersSec%.2f,"block_rows":$blockRows,"blocks_sec":$blocksSec%.2f$scale10x,"sf":"$sfDir"}"""
+      f"""{"metric":"rollup_points_per_sec_per_executor","value":$pointsPerSec%.1f,"unit":"points/sec","metric_def":"(tier points + block rows) / (repair+tiers sec + block-build sec), best of 3 trials pre-suite; formula unchanged since round 1, but measurement protocol differs from round 1 (single trial post-suite) — cross-round comparisons carry protocol variance","trials_sec":$trialsJson,"control_rows_per_sec":$control%.0f,"control_ref_rows_per_sec":$RefControlRowsPerSec%.0f,"control_normalized_points_per_sec":$normalized%.1f,"queries":$qs,"queries_total_sec":$total%.2f,"pages":$nPages,"rollup_points":$points,"rollup_sec":$rollupSec%.2f,"tier_points":$tierPoints,"tiers_sec":$tiersSec%.2f,"block_rows":$blockRows,"blocks_sec":$blocksSec%.2f$scale10x,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -1532,6 +1532,22 @@ object SparkEntry {
         .containmentPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
     }),
 
+    // ---- order-3 vicinity corrector (q47 one order up; reference
+    //      mine_all_counts takes arbitrary order): candidate pr
+    //      conditioned on an lhs column TRIPLE. With errors on
+    //      `segment`, the only surviving triple is
+    //      {decile, nation, parity} ----
+    "q181_vicinity_order3" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true)
+        .withColumn("parity", pmod(col("row_id"), lit(2)).cast("string"))
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      Correctors
+        .vicinityCorrectorOrderN(base, errors, "row_id", Seq("nation", "decile", "segment", "parity"), 3)
+        .select(col("row_id"), col("corrector"), col("candidate"), round(col("score"), 6).as("score"))
+    }),
+
     // ---- personalized PageRank (topic-sensitive, Haveliwala 2002):
     //      teleport mass returns ONLY to the doc_id%97 seed hosts, so
     //      rank measures endorsement reachable FROM the seeds — same
@@ -4722,6 +4738,18 @@ object SparkEntry {
                 CAST(overlap AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(overlap AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.8""",
+    "q181_vicinity_order3" ->
+      """WITH corrupted AS (SELECT c_custkey AS row_id, CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(c_custkey % 10 AS VARCHAR) AS decile,
+             CAST(c_custkey % 2 AS VARCHAR) AS parity,
+             CASE WHEN c_custkey % 17 = 3 THEN '__CORRUPT__' ELSE c_mktsegment END AS segment FROM customer),
+         err AS (SELECT row_id, nation, decile, parity FROM corrupted WHERE segment = '__CORRUPT__'),
+         c AS (SELECT decile, nation, parity, segment AS candidate, count(*) AS cnt FROM corrupted
+               WHERE segment <> '__CORRUPT__' GROUP BY 1, 2, 3, 4),
+         p AS (SELECT decile, nation, parity, candidate,
+                      cnt * 1.0 / sum(cnt) OVER (PARTITION BY decile, nation, parity) AS pr FROM c)
+         SELECT e.row_id, 'vicinity_3_decile_nation_parity' AS corrector, p.candidate, round(p.pr, 6) AS score
+         FROM err e JOIN p ON e.nation = p.nation AND e.decile = p.decile AND e.parity = p.parity""",
     // Pointer-doubling replay: three unrolled t' = t(t(x)) rounds,
     // then the resolved test = "final target is not a redirect src".
     "q178_redirect_resolve" ->

@@ -13,6 +13,11 @@ case class CleaningConfig(
     useFd: Boolean = true,
     useVicinity1: Boolean = true,
     useVicinity2: Boolean = false,
+    // reference `vicinity_orders` (e.g. [1], [1,2], [1,2,3]): orders
+    // BEYOND 2 run through the generic order-n corrector; 1 and 2 keep
+    // their dedicated name-compatible paths (so vicinityOrders=[1,2]
+    // == useVicinity1+useVicinity2)
+    vicinityOrders: Seq[Int] = Seq.empty,
     usePdepVicinity: Boolean = false,
     useImputer: Boolean = true,
     // M1's TRAINED form (auto_instance): per-column seeded
@@ -143,7 +148,7 @@ object Cleaning {
 
     // step 6: in-engine FD mining + gpdep weights for the fd corrector
     val cacheSuggestions = cache.map(c => Correctors.cacheCorrector(detected, c))
-    val suggestions = (Seq(
+    val suggestions = ((Seq(
       if (cfg.useFd) {
         val mined = Pdep
           .mineFds(df, correctorErrors, rowId, cols)
@@ -156,11 +161,18 @@ object Cleaning {
           Some(Correctors.fdCorrector(df, correctorErrors, rowId, gp, mined))
         }
       } else None,
-      if (cfg.useVicinity1) Some(Correctors.vicinityCorrectorOrder1(df, correctorErrors, rowId, cols)) else None,
-      if (cfg.useVicinity2) Some(Correctors.vicinityCorrectorOrder2(df, correctorErrors, rowId, cols)) else None,
+      if (cfg.useVicinity1 || cfg.vicinityOrders.contains(1))
+        Some(Correctors.vicinityCorrectorOrder1(df, correctorErrors, rowId, cols))
+      else None,
+      if (cfg.useVicinity2 || cfg.vicinityOrders.contains(2))
+        Some(Correctors.vicinityCorrectorOrder2(df, correctorErrors, rowId, cols))
+      else None,
       if (cfg.usePdepVicinity)
         Some(Correctors.vicinityCorrectorPdep(df, correctorErrors, rowId, cols, cfg.nBestPdeps))
-      else None,
+      else None
+    ) ++ cfg.vicinityOrders.filter(_ > 2).sorted.map { n =>
+      Option(Correctors.vicinityCorrectorOrderN(df, correctorErrors, rowId, cols, n))
+    } ++ Seq[Option[org.apache.spark.sql.DataFrame]](
       if (cfg.useImputer) Some(Correctors.frequencyImputer(df, correctorErrors, rowId, cols)) else None,
       if (cfg.useMlImputer)
         Some(
@@ -180,7 +192,7 @@ object Cleaning {
       else None,
       if (cfg.useValue && labeledPairs.nonEmpty) Some(Correctors.valueCorrector(detected, labeledPairs))
       else None
-    ).flatten ++ cacheSuggestions) match {
+    )).flatten ++ cacheSuggestions) match {
       case Nil => Correctors.emptySuggestions(spark)
       case xs  => xs.reduce(_ unionByName _)
     }

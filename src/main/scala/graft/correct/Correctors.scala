@@ -253,6 +253,88 @@ object Correctors {
       )
   }
 
+  /** A3 all-combination count model, ARBITRARY order n (reference
+    * `mine_all_counts` takes any `order`, `src/pdep.py:101-158`):
+    * cell-masked counts keyed by an UNORDERED n-set of lhs columns
+    * plus a rhs column. One melt + an (n+1)-way self-join on row_id +
+    * one hash aggregate; `lhs_col_1 < … < lhs_col_n` de-duplicates
+    * combinations. Output schema: `lhs_col_1..n, rhs_col,
+    * lhs_val_1..n, candidate, cnt`.
+    *
+    * SCALE BOUNDARY: O(rows × cols^(n+1)) pairs — see `allCounts`;
+    * the guard tightens with the order (the reference's shipped
+    * configs stop at order 2; arbitrary n exists for API parity).
+    */
+  def allCountsOrderN(df: DataFrame, errors: DataFrame, rowId: String, cols: Seq[String], order: Int): DataFrame = {
+    require(order >= 1, s"order must be >= 1, got $order")
+    require(
+      math.pow(cols.size.toDouble, (order + 1).toDouble) <= math.pow(64.0, 2.0),
+      s"allCountsOrderN is O(rows*cols^${order + 1}) by design (correction-table sized); " +
+        s"${cols.size} columns at order $order exceeds the 64^2 combination budget"
+    )
+    val masked = Cells
+      .melt(df, rowId, cols)
+      .join(errors.select("row_id", "col"), Seq("row_id", "col"), "left_anti")
+    val lhs = (1 to order)
+      .map(i => masked.select(col("row_id"), col("col").as(s"lhs_col_$i"), col("value").as(s"lhs_val_$i")))
+      .reduceLeft(_.join(_, "row_id"))
+      .filter((2 to order).map(i => col(s"lhs_col_${i - 1}") < col(s"lhs_col_$i")).foldLeft(lit(true))(_ && _))
+    val r = masked.select(col("row_id"), col("col").as("rhs_col"), col("value").as("candidate"))
+    val keyCols =
+      (1 to order).map(i => s"lhs_col_$i") ++ Seq("rhs_col") ++ (1 to order).map(i => s"lhs_val_$i") :+ "candidate"
+    lhs
+      .join(r, "row_id")
+      .filter((1 to order).map(i => col("rhs_col") =!= col(s"lhs_col_$i")).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Order-3 alias of [[allCountsOrderN]]. */
+  def allCountsOrder3(df: DataFrame, errors: DataFrame, rowId: String, cols: Seq[String]): DataFrame =
+    allCountsOrderN(df, errors, rowId, cols, 3)
+
+  /** Naive vicinity corrector for ARBITRARY order n (reference
+    * `vicinity_based_corrector_order_n`): conditional pr of each
+    * candidate given the error row's values in an lhs column n-SET;
+    * one corrector name per set (`vicinity_<n>_<c1>_…_<cn>`, columns
+    * ascending). Equals `vicinityCorrectorOrder1/2` at n=1/2 (pinned
+    * by EnsembleSpec) — those stay as the hot, name-compatible paths.
+    */
+  def vicinityCorrectorOrderN(
+      df: DataFrame,
+      errors: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      order: Int
+  ): DataFrame = {
+    val cells = Cells.melt(df, rowId, cols)
+    val counts = allCountsOrderN(df, errors, rowId, cols, order)
+    val keyNoVal = (1 to order).map(i => s"lhs_col_$i") :+ "rhs_col"
+    val keyAll = keyNoVal ++ (1 to order).map(i => s"lhs_val_$i")
+    val wm = Window.partitionBy(keyAll.map(col): _*)
+    val countsPr = counts.withColumn("pr", col("cnt") / sum("cnt").over(wm))
+
+    val errLhs = (1 to order)
+      .map(i => cells.toDF("row_id", s"lhs_col_$i", s"lhs_val_$i"))
+      .foldLeft(errors.select(col("row_id"), col("col").as("rhs_col")))(_.join(_, "row_id"))
+      .filter((2 to order).map(i => col(s"lhs_col_${i - 1}") < col(s"lhs_col_$i")).foldLeft(lit(true))(_ && _))
+      .filter((1 to order).map(i => col("rhs_col") =!= col(s"lhs_col_$i")).reduce(_ && _))
+
+    val nameParts: Seq[Column] =
+      lit(s"vicinity_${order}_") +: (1 to order).flatMap(i =>
+        (if (i > 1) Seq(lit("_")) else Seq.empty[Column]) :+ col(s"lhs_col_$i")
+      )
+    errLhs
+      .join(broadcast(countsPr), keyAll)
+      .select(
+        col("row_id"),
+        col("rhs_col").as("col"),
+        concat(nameParts: _*).as("corrector"),
+        col("candidate"),
+        col("pr").as("score")
+      )
+  }
+
   /** Value corrector (reference `src/correction.py:148-219`): value
     * models mined from the labeled (error, correction) pairs on the
     * driver (bounded by the labeling budget, ~20 rows), broadcast, and

@@ -359,6 +359,66 @@ class EnsembleSpec extends SparkSpec {
     assert(sugg == Set(("vicinity_2_l1_l2", "x", 1.0)))
   }
 
+  test("order-n vicinity generalizes: n=2 equals the dedicated path, n=3 conditions on triples") {
+    val df = Seq(
+      (1L, "a", "p", "u", "x"),
+      (2L, "a", "p", "u", "x"),
+      (3L, "a", "p", "v", "y"),
+      (4L, "a", "q", "u", "y"),
+      (5L, "a", "p", "u", "BAD")
+    ).toDF("row_id", "l1", "l2", "l3", "r")
+    val errors = Seq(ErrorCell(5L, "r", "BAD")).toDF()
+    val cols = Seq("l1", "l2", "l3", "r")
+
+    // n=2 through the generic path == the dedicated order-2 corrector
+    // (same corrector names, candidates, and scores)
+    val gen2 = Correctors
+      .vicinityCorrectorOrderN(df, errors, "row_id", cols, 2)
+      .select("row_id", "col", "corrector", "candidate", "score")
+    val ded2 = Correctors
+      .vicinityCorrectorOrder2(df, errors, "row_id", cols)
+      .select("row_id", "col", "corrector", "candidate", "score")
+    assert(gen2.except(ded2).isEmpty && ded2.except(gen2).isEmpty)
+
+    // n=3: the error row's triple (l1,l2,l3)=(a,p,u) has clean
+    // completions x,x (rows 1,2) -> pr 1.0 for x; order-2's pair
+    // (l2,l3)=(p,u) would have admitted y via row 4? no — (p,u) rows
+    // are 1,2 only; pair (l1,l3)=(a,u) admits y via row 4. The triple
+    // is strictly sharper.
+    val sugg3 = Correctors
+      .vicinityCorrectorOrderN(df, errors, "row_id", cols, 3)
+      .collect()
+      .map(r => (r.getAs[String]("corrector"), r.getAs[String]("candidate"), r.getAs[Double]("score")))
+      .toSet
+    assert(sugg3 == Set(("vicinity_3_l1_l2_l3", "x", 1.0)))
+
+    // masked: the error cell never contributes a candidate count
+    val c3 = Correctors
+      .allCountsOrder3(df, errors, "row_id", cols)
+      .filter(col("rhs_col") === "r" && col("candidate") === "BAD")
+    assert(c3.isEmpty)
+
+    // lifecycle wiring: vicinityOrders=[3] runs the generic corrector
+    val noLabels = Seq.empty[(Long, String, String)].toDF("row_id", "col", "clean_value")
+    val corrections = Cleaning.run(
+      df,
+      "row_id",
+      cols,
+      errors.toDF(),
+      noLabels,
+      cfg = CleaningConfig(
+        useFd = false,
+        useVicinity1 = false,
+        useVicinity2 = false,
+        vicinityOrders = Seq(3),
+        useImputer = false,
+        useValue = false
+      )
+    )
+    val got = corrections.collect().map(r => ((r.getLong(0), r.getString(1)), r.getString(2))).toMap
+    assert(got == Map((5L, "r") -> "x"))
+  }
+
   test("statsDF emits one row per FD with rounded stats") {
     val noErr = spark.emptyDataset[ErrorCell].toDF()
     val out = Pdep
