@@ -2167,6 +2167,25 @@ object SparkEntry {
       graft.correct.MetaLearner.trainPredict(features, correctors, labeled, classifier = "CV")
     }),
 
+    // ---- q62's grid scored by the reference's exact criterion
+    //      (hpo.py scoring="precision"): positive-label precision over
+    //      hard predictions picks the model ----
+    "q182_meta_learner_cv_precision" -> ((s, dir) => {
+      val base = corruptible(s, dir, corrupt = true).drop("decile").filter(col("row_id") <= 1500)
+      val errors = base
+        .filter(col("segment") === "__CORRUPT__")
+        .select(col("row_id"), lit("segment").as("col"), col("segment").as("error_value"))
+      val sugg = Correctors
+        .vicinityCorrectorOrder1(base, errors, "row_id", Seq("nation", "segment"))
+        .unionByName(Correctors.frequencyImputer(base, errors, "row_id", Seq("nation", "segment")))
+      val correctors = sugg.select("corrector").distinct().collect().map(_.getString(0)).sorted.toSeq
+      val features = graft.correct.MetaLearner.pairFeatures(sugg, correctors)
+      val labeled = t(s, dir, "customer")
+        .filter(col("c_custkey") <= 1500 && col("c_custkey") % 17 === 3 && col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("row_id"), lit("segment").as("col"), col("c_mktsegment").as("clean_value"))
+      graft.correct.MetaLearner.trainPredict(features, correctors, labeled, classifier = "CV_PRECISION")
+    }),
+
     // ---- similarity: IVF with a TRAINED coarse quantizer (spherical
     //      k-means on a bounded hash-sample — the FAISS-style scale
     //      shape); oracle pins the trained centroids as literals and
@@ -3518,6 +3537,7 @@ object SparkEntry {
     // decisions and the synth-lifecycle corrections as pinned tables.
     "q45_meta_learner" -> Goldens("q45_meta_learner"),
     "q62_meta_learner_cv" -> Goldens("q62_meta_learner_cv"),
+    "q182_meta_learner_cv_precision" -> Goldens("q182_meta_learner_cv_precision"),
     "q63_ann_ivf_kmeans" -> Goldens("q63_ann_ivf_kmeans"),
     "q66_ann_pq" -> Goldens("q66_ann_pq"),
     "q69_ann_ivf_pq" -> Goldens("q69_ann_ivf_pq"),

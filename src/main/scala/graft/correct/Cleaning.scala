@@ -42,7 +42,8 @@ case class CleaningConfig(
     synthTuples: Int = 0,
     synthGateThreshold: Double = 0.9,
     synthSeed: Long = 42L,
-    // "GBT" or "CV" (reference CLASSIFICATION_MODEL ABC|CV,
+    // "GBT", "CV" (areaUnderPR), or "CV_PRECISION" (the reference's
+    // exact scoring="precision") (reference CLASSIFICATION_MODEL ABC|CV,
     // `hpo.cross_validated_estimator`)
     metaClassifier: String = "GBT"
 )

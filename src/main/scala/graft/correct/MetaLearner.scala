@@ -160,10 +160,13 @@ object MetaLearner {
   /** Fit the per-column pair classifier. "GBT" is the default; "CV"
     * cross-validates a small GBT grid (reference
     * `hpo.cross_validated_estimator`: GridSearchCV over AdaBoost
-    * n_estimators scored by precision — here CrossValidator over
-    * maxIter/maxDepth scored by areaUnderPR), guarded like the
-    * reference: too few positives (<= 2) falls back to the plain
-    * model, as do degenerate folds.
+    * n_estimators, `src/hpo.py:13-32` — here CrossValidator over
+    * maxIter/maxDepth) scored by areaUnderPR; "CV_PRECISION" scores
+    * the same grid by the positive class's PRECISION over hard
+    * predictions — the reference's exact `scoring="precision"`
+    * criterion, so model selection matches it when the two metrics
+    * disagree. Both are guarded like the reference: too few positives
+    * (<= 2) falls back to the plain model, as do degenerate folds.
     */
   private def fitClassifier(
       train: DataFrame,
@@ -177,10 +180,10 @@ object MetaLearner {
       .setMaxIter(10) // pair-feature spaces are tiny (|correctors| dims); more trees buy nothing
       .setMaxDepth(3)
       .setSeed(seed)
-    if (classifier != "CV" || positives <= 2) gbt.fit(train)
+    if (!classifier.startsWith("CV") || positives <= 2) gbt.fit(train)
     else {
       import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
-      import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+      import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
       val grid = new ParamGridBuilder()
         .addGrid(gbt.maxIter, Array(5, 10, 20))
         .addGrid(gbt.maxDepth, Array(2, 3))
@@ -202,9 +205,19 @@ object MetaLearner {
           pmod(xxhash64(col("row_id"), col("candidate"), lit(seed)), lit(3)).cast("int")
         )
         .cache()
+      val evaluator =
+        if (classifier == "CV_PRECISION")
+          // precision of the positive label over HARD predictions —
+          // sklearn's scoring="precision" (zero predicted positives
+          // scores 0, like sklearn's zero_division default)
+          new MulticlassClassificationEvaluator()
+            .setLabelCol("label")
+            .setMetricName("precisionByLabel")
+            .setMetricLabel(1.0)
+        else new BinaryClassificationEvaluator().setLabelCol("label").setMetricName("areaUnderPR")
       val cv = new CrossValidator()
         .setEstimator(gbt)
-        .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("label").setMetricName("areaUnderPR"))
+        .setEvaluator(evaluator)
         .setEstimatorParamMaps(grid)
         .setNumFolds(3)
         .setFoldCol("__fold")

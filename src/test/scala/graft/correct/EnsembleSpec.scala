@@ -189,6 +189,29 @@ class EnsembleSpec extends SparkSpec {
     assert((21L to 30L).forall(r => out(r) == s"T$r"))
   }
 
+  test("CV_PRECISION mode scores the grid by positive-label precision and still cleans the clear-cut problem") {
+    // the reference's exact scoring="precision" criterion (hpo.py):
+    // same fixture as the CV case — decisions must come out right
+    // through the precision-scored selection path too (its per-SF
+    // real-data decisions are pinned by the q182 golden oracle)
+    val cells = (1L to 30L)
+    val sugg = cells.flatMap { r =>
+      Seq(
+        Suggestion(r, "seg", "c_good", s"T$r", 0.9),
+        Suggestion(r, "seg", "c_bad", s"F$r", 0.9)
+      )
+    }.toDF()
+    val features = MetaLearner.pairFeatures(sugg, Seq("c_bad", "c_good"))
+    val labeled = (1L to 20L).map(r => (r, "seg", s"T$r")).toDF("row_id", "col", "clean_value")
+    val out = MetaLearner
+      .trainPredict(features, Seq("c_bad", "c_good"), labeled, minLabels = 10, classifier = "CV_PRECISION")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .toMap
+    assert(out.keySet == (21L to 30L).toSet)
+    assert((21L to 30L).forall(r => out(r) == s"T$r"))
+  }
+
   test("meta-learner falls back to A13 under the label-count guard") {
     val sugg = (1L to 5L).flatMap { r =>
       Seq(
