@@ -518,6 +518,223 @@ object PseudoLlm {
       if (errs.size == 1 && pairs.size >= 2 && corrs.size > 1) Some(c -> errs.head) else None
     }
 
+  /** TOKEN-DOMAIN TYPO REPAIR — the third cache rung: the share of
+    * llm_correction an LLM performs from the column vocabulary its
+    * prompt examples expose (typo-class errors: "619 paxienxs" ->
+    * "619 patients", "95x" -> "95%"). Each whitespace token of an
+    * error value that is absent from the column's TRUSTED token
+    * vocabulary is repaired when it resolves UNIQUELY, in ladder
+    * order:
+    *
+    *   1. a vocabulary token at edit distance 1 (<= 2 for tokens of
+    *      length >= 5) — matched via FastSS deletion signatures, so
+    *      candidate generation is a key join, never all-pairs;
+    *   2. a single split (one character replaced by a space) whose
+    *      halves are vocabulary tokens, or one vocabulary token plus
+    *      one shape-frequent token ("6xpatients" -> "6 patients");
+    *
+    * distance-1 repairs outrank distance-2; ANY ambiguity at the
+    * minimal distance fails the token, and splits never land inside a
+    * digit run ("619" is one number, not "6 9"). Unknown tokens with
+    * no unique repair survive as-is iff their character shape is
+    * frequent in the vocabulary (the intact row-specific number in
+    * "82 patientx"); otherwise the cell produces no answer —
+    * digit-damaged tokens ("3x patients", "x7%") match many
+    * vocabulary tokens and are correctly unanswerable, exactly the
+    * cells the reference's GPT also cannot recover.
+    *
+    * INDUCTION GATE (self-validating, stricter than the program
+    * ladder's ratio): the repair is applied to the labeled (error,
+    * correction) pairs first; the member activates only when it
+    * reproduces >= `minSupport` labeled corrections and contradicts
+    * NONE. A table whose labels show no typo-class errors — or a
+    * different damage process — never activates the member.
+    *
+    * Scale shape: vocabulary and signatures reduce by (col, token)
+    * key before any join; error-side work is proportional to detected
+    * cells; a column whose vocabulary exceeds `maxVocabPerCol` is
+    * skipped (free-text columns are not token-domain repairable).
+    */
+  def tokenRepairCache(
+      df: DataFrame,
+      rowId: String,
+      cols: Seq[String],
+      detected: DataFrame,
+      userLabels: DataFrame,
+      maxVocabPerCol: Long = 100000L,
+      minSupport: Int = 2,
+      minShapeTokens: Int = 3
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val errVal = coalesce(col("error_value"), lit(""))
+
+    val cells = Cells.melt(df, rowId, cols)
+    val trusted = cells
+      .join(detected.select("row_id", "col"), Seq("row_id", "col"), "left_anti")
+      .filter(col("value").isNotNull && col("value") =!= "")
+    val vocab0 = trusted
+      .select(col("col"), explode(split(col("value"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("col", "token")
+      .agg(count(lit(1)).as("cnt"))
+    val vocabSizes = vocab0
+      .groupBy("col")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val okCols = cols.filter(c => vocabSizes.getOrElse(c, 0L) <= maxVocabPerCol)
+    if (okCols.isEmpty) return Correctors.emptySuggestions(spark)
+    val vocab = vocab0.filter(col("col").isin(okCols: _*)).select("col", "token").cache()
+
+    val freqShapes = vocab
+      .withColumn("shape", shapeOf(col("token")))
+      .groupBy("col", "shape")
+      .agg(count(lit(1)).as("nt"))
+      .filter(col("nt") >= minShapeTokens)
+      .select("col", "shape")
+
+    // FastSS deletion neighborhood of a token column: the token, its
+    // single-deletion variants, and (length >= 5) double deletions —
+    // two tokens within edit distance k share a signature when both
+    // neighborhoods use up to k deletions
+    def sigsOf(t: String): Column = {
+      val d1 = s"transform(sequence(1, length($t)), i -> concat(substr($t, 1, i - 1), substr($t, i + 1, length($t))))"
+      val d2 = s"flatten(transform($d1, x -> transform(sequence(1, length(x)), j -> concat(substr(x, 1, j - 1), substr(x, j + 1, length(x))))))"
+      when(length(col(t)) >= 5, array_distinct(concat(array(col(t)), expr(d1), expr(d2))))
+        .otherwise(array_distinct(concat(array(col(t)), expr(d1))))
+    }
+
+    val errCells = detected
+      .filter(errVal =!= "" && col("col").isin(okCols: _*))
+      .select(col("row_id"), col("col"), errVal.as("ev"))
+    val toks = errCells
+      .select(col("row_id"), col("col"), col("ev"), posexplode(split(col("ev"), " ")).as(Seq("pos", "tok")))
+    val toksV = toks
+      .join(
+        vocab.select(col("col"), col("token").as("tok"), lit(true).as("in_vocab")),
+        Seq("col", "tok"),
+        "left"
+      )
+      .withColumn("in_vocab", coalesce(col("in_vocab"), lit(false)) || col("tok") === "")
+      .withColumn("shape", shapeOf(col("tok")))
+      .join(
+        freqShapes.select(col("col"), col("shape"), lit(true).as("shape_ok")),
+        Seq("col", "shape"),
+        "left"
+      )
+      .withColumn("shape_ok", coalesce(col("shape_ok"), lit(false)))
+      .cache()
+    val unknown = toksV.filter(!col("in_vocab")).select("row_id", "col", "pos", "tok")
+
+    // rung 1: whole-token vocabulary match within the length-scaled
+    // edit-distance cap
+    val unkSig = unknown.withColumn("sig", explode(sigsOf("tok")))
+    val vocSig = vocab.withColumn("sig", explode(sigsOf("token")))
+    val wholeCand = unkSig
+      .join(vocSig, Seq("col", "sig"))
+      .select("row_id", "col", "pos", "tok", "token")
+      .distinct()
+      .withColumn("lev", levenshtein(col("tok"), col("token")))
+      .filter(col("lev") <= when(length(col("tok")) >= 5, 2).otherwise(1))
+      .select(col("row_id"), col("col"), col("pos"), col("tok"), col("token").as("cand"), col("lev").as("dist"))
+
+    // rung 2: one character became a space — both halves must resolve
+    // (vocabulary, or shape-frequent next to a vocabulary half)
+    val splitCand = unknown
+      .filter(length(col("tok")) >= 3)
+      .withColumn("i", explode(expr("sequence(2, length(tok) - 1)")))
+      .withColumn("lhs", expr("substr(tok, 1, i - 1)"))
+      .withColumn("rhs", expr("substr(tok, i + 1, length(tok))"))
+      .join(vocab.select(col("col"), col("token").as("lhs"), lit(true).as("lv")), Seq("col", "lhs"), "left")
+      .join(vocab.select(col("col"), col("token").as("rhs"), lit(true).as("rv")), Seq("col", "rhs"), "left")
+      .withColumn("lshape", shapeOf(col("lhs")))
+      .withColumn("rshape", shapeOf(col("rhs")))
+      .join(
+        freqShapes.select(col("col"), col("shape").as("lshape"), lit(true).as("ls")),
+        Seq("col", "lshape"),
+        "left"
+      )
+      .join(
+        freqShapes.select(col("col"), col("shape").as("rshape"), lit(true).as("rs")),
+        Seq("col", "rshape"),
+        "left"
+      )
+      .filter(
+        (coalesce(col("lv"), lit(false)) && (coalesce(col("rv"), lit(false)) || coalesce(col("rs"), lit(false)))) ||
+          (coalesce(col("rv"), lit(false)) && (coalesce(col("lv"), lit(false)) || coalesce(col("ls"), lit(false))))
+      )
+      // a space INSIDE a digit run is not a plausible typo reading —
+      // "619" must never split into "6 9"; real split repairs replace
+      // a letter at a class boundary ("6xpatients" -> "6 patients")
+      .filter(!(col("lhs").rlike("^[0-9]+$") && col("rhs").rlike("^[0-9]+$")))
+      .select(
+        col("row_id"),
+        col("col"),
+        col("pos"),
+        col("tok"),
+        concat(col("lhs"), lit(" "), col("rhs")).as("cand"),
+        lit(1).as("dist")
+      )
+
+    val wBest = org.apache.spark.sql.expressions.Window.partitionBy("row_id", "col", "pos")
+    val best = wholeCand
+      .unionByName(splitCand)
+      .withColumn("mind", min("dist").over(wBest))
+      .filter(col("dist") === col("mind"))
+      .groupBy("row_id", "col", "pos")
+      .agg(collect_set("cand").as("cands"))
+      .filter(size(col("cands")) === 1)
+      .select(col("row_id"), col("col"), col("pos"), element_at(col("cands"), 1).as("rep"))
+
+    val outToks = toksV
+      .join(best, Seq("row_id", "col", "pos"), "left")
+      .withColumn("out", coalesce(col("rep"), col("tok")))
+      .withColumn("is_rep", col("rep").isNotNull)
+      .withColumn("fail", !col("in_vocab") && !col("shape_ok") && col("rep").isNull)
+    val repaired = outToks
+      .groupBy("row_id", "col", "ev")
+      .agg(
+        max(col("fail").cast("int")).as("anyfail"),
+        sum(col("is_rep").cast("int")).as("nrep"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("out")))), x => x.getField("out")),
+          " "
+        ).as("candidate")
+      )
+      .filter(col("anyfail") === 0 && col("nrep") >= 1 && col("candidate") =!= col("ev"))
+      .select("row_id", "col", "candidate")
+      .cache()
+
+    // induction gate: the member activates only if the repair
+    // reproduces labeled corrections and contradicts none
+    val checks = repaired
+      .join(
+        detected.join(userLabels, Seq("row_id", "col")).select("row_id", "col", "clean_value"),
+        Seq("row_id", "col")
+      )
+      .select((col("candidate") === col("clean_value")).as("ok"))
+      .collect()
+    val support = checks.count(_.getBoolean(0))
+    val contradictions = checks.length - support
+    val out =
+      if (support < minSupport || contradictions > 0) Correctors.emptySuggestions(spark)
+      else
+        repaired.select(
+          col("row_id"),
+          col("col"),
+          lit("token_repair").as("corrector"),
+          col("candidate"),
+          lit(1.0).as("score")
+        )
+    val materialized = out.cache()
+    materialized.count()
+    repaired.unpersist()
+    toksV.unpersist()
+    vocab.unpersist()
+    materialized
+  }
+
   /** Both cache members, union'd — the frozen cache table to route
     * through `Cleaning.run(cache = ...)`.
     */
@@ -549,5 +766,6 @@ object PseudoLlm {
           fillConstants = fillConstants
         )
       )
+      .unionByName(tokenRepairCache(df, rowId, cols, detected, userLabels))
   }
 }

@@ -186,4 +186,70 @@ class PseudoLlmSpec extends SparkSpec {
     assert(out((3L, "state")) == "NC")
     assert(out((4L, "state")) == "TX")
   }
+
+  test("token repair: unique in-vocab edit fixes typo tokens, digit damage stays unanswered") {
+    import spark.implicits._
+    // trusted rows carry the vocabulary: "patients", "empty", percent
+    // scores, plus row-specific numbers (shape 'd'+ is frequent)
+    val dirty = Seq(
+      (1L, "10 patients", "95%"),
+      (2L, "223 patients", "87%"),
+      (3L, "31 patients", "62%"),
+      (4L, "40 patients", "33%"),
+      (5L, "619 paxienxs", "95x"), // both repairable: unique token/edit
+      (6L, "3x patients", "9x%"), // digit-damaged: ambiguous, no answer
+      (7L, "6xpatients", "44%"), // split repair: x became a space
+      (8L, "150 patients", "71%"),
+      (9L, "301 patients", "88%"),
+      (10L, "4 patients", "20%"),
+      (11L, "7 patients", "15%"),
+      (12L, "9 patients", "55%"),
+      // density: digit-damaged tokens ("3x", "9x%") must be ambiguous
+      // here like in a real corpus, never uniquely repairable
+      (13L, "34 patients", "98%")
+    ).toDF("row_id", "sample", "score")
+    val detected = Seq(
+      (5L, "sample", "619 paxienxs"),
+      (5L, "score", "95x"),
+      (6L, "sample", "3x patients"),
+      (6L, "score", "9x%"),
+      (7L, "sample", "6xpatients")
+    ).toDF("row_id", "col", "error_value")
+    // labels validate the member: two typo-class corrections reproduced
+    val labels = Seq(
+      (5L, "sample", "619 patients"),
+      (5L, "score", "95%")
+    ).toDF("row_id", "col", "clean_value")
+    val got = PseudoLlm
+      .tokenRepairCache(dirty, "row_id", Seq("sample", "score"), detected, labels)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getString(3)))
+      .toMap
+    assert(got((5L, "sample")) == "619 patients")
+    assert(got((5L, "score")) == "95%")
+    assert(got((7L, "sample")) == "6 patients")
+    // digit-damaged cells match many vocabulary tokens -> no answer
+    assert(!got.contains((6L, "sample")) && !got.contains((6L, "score")))
+  }
+
+  test("token repair gate: a contradicted or unsupported induction never activates") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "10 patients"),
+      (2L, "223 patients"),
+      (3L, "31 patients"),
+      (5L, "619 paxienxs")
+    ).toDF("row_id", "sample")
+    val detected = Seq((5L, "sample", "619 paxienxs")).toDF("row_id", "col", "error_value")
+    // contradiction: the label says the damage was NOT a typo repair
+    val badLabels = Seq((5L, "sample", "619 participants")).toDF("row_id", "col", "clean_value")
+    assert(
+      PseudoLlm.tokenRepairCache(dirty, "row_id", Seq("sample"), detected, badLabels).isEmpty
+    )
+    // support below minSupport: one reproduced label is not enough
+    val oneLabel = Seq((5L, "sample", "619 patients")).toDF("row_id", "col", "clean_value")
+    assert(
+      PseudoLlm.tokenRepairCache(dirty, "row_id", Seq("sample"), detected, oneLabel).isEmpty
+    )
+  }
 }
