@@ -99,6 +99,7 @@ class PlanSpec extends SparkSpec {
     val skip = Set(
       "q25_pages_pipeline", "q37_continuous_rollup", "q44_baran_sample",
       "q45_meta_learner", "q48_cleaning", "q52_cleaning_synth", "q62_meta_learner_cv",
+      "q182_meta_learner_cv_precision",
       "q53_detection_mask", "q54_label_noise",
       // construction runs a CSV write / snapshot update + compaction /
       // a full streaming query — audited by their own oracles + specs
