@@ -37,6 +37,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // deep-lineage plans (per-column model fits over a pivoted
+      // suggestion union) can render multi-GB explain strings — the
+      // default cap is ~2^31 chars, which is an OOM, not a cap. 32 MB
+      // keeps any plan render bounded; execution is unaffected
+      .config("spark.sql.maxPlanStringLength", (32 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
